@@ -1,0 +1,219 @@
+"""Occupancy-grid acceleration: the TPU-native replacement for
+``nerfacc.OccupancyGrid`` + ``nerfacc.ray_marching`` (SURVEY.md §2.7-bis).
+
+Reference semantics reproduced (used at run_nerf_acc.py:196-198,285-287 and
+nerf_helpers_acc.py:10-31,65-78):
+  * a 128^3 binary occupancy grid over an axis-aligned box, EMA-updated from
+    density samples every n steps: ``occs = max(occs * decay, sigma)``,
+    ``binary = occs > min(mean(occs), occ_thre)``;
+  * grid-pruned ray marching with uniform step ``(far-near)/n_samples``,
+    per-sample alpha threshold ``alpha_thre`` and transmittance early stop
+    ``early_stop_eps``.
+
+TPU-first re-design (the central departure from the CUDA reference):
+  * nerfacc's DDA traversal emits a **ragged** ``(ray_indices, t_starts,
+    t_ends)`` list — XLA-hostile dynamic shapes. Here marching produces a
+    **fixed** (n_rays, n_samples) sample lattice plus a {0,1} validity mask
+    from a trilinear-floor gather on the grid. Masked samples behave exactly
+    like samples nerfacc never emitted (alpha = 1 in the Beer-Lambert
+    product).
+  * the EMA update densely re-evaluates all res^3 cell centers on the MXU
+    (2.1M tiny-MLP evals ~= one training step) instead of nerfacc's
+    partial-cell CUDA sampling — simpler, deterministic, and cheap on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccupancyGrid(NamedTuple):
+    """Dense occupancy grid state (a pytree — jit/shard-friendly).
+
+    occs:   float32 (res, res, res) EMA of density per cell
+    binary: bool    (res, res, res) occupied mask
+    aabb:   float32 (6,) [xmin, ymin, zmin, xmax, ymax, zmax]
+    """
+
+    occs: jnp.ndarray
+    binary: jnp.ndarray
+    aabb: jnp.ndarray
+
+    @property
+    def resolution(self) -> int:
+        return self.occs.shape[0]
+
+
+def create_grid(aabb, resolution: int = 128) -> OccupancyGrid:
+    """Fresh grid, everything occupied (matches nerfacc's conservative
+    start: an empty grid would kill all gradients on step 0)."""
+    aabb = jnp.asarray(aabb, jnp.float32)
+    shape = (resolution, resolution, resolution)
+    return OccupancyGrid(
+        occs=jnp.zeros(shape, jnp.float32),
+        binary=jnp.ones(shape, bool),
+        aabb=aabb,
+    )
+
+
+def cell_centers(grid: OccupancyGrid) -> jnp.ndarray:
+    """(res^3, 3) world-space coordinates of all cell centers."""
+    res = grid.resolution
+    lo, hi = grid.aabb[:3], grid.aabb[3:]
+    idx = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    xs = lo[0] + idx * (hi[0] - lo[0])
+    ys = lo[1] + idx * (hi[1] - lo[1])
+    zs = lo[2] + idx * (hi[2] - lo[2])
+    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+def update_grid(
+    grid: OccupancyGrid,
+    sigma_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    occ_thre: float,
+    ema_decay: float = 0.95,
+    key: jax.Array | None = None,
+) -> OccupancyGrid:
+    """One EMA occupancy update (dense over all cells).
+
+    Ref semantics: nerfacc OccupancyGrid._update as wrapped by
+    nerf_helpers_acc.py:65-78 — ``occs = max(occs*decay, sigma(cell))``,
+    binarized at ``min(mean(occs), occ_thre)``. If ``key`` is given, cell
+    evaluation points are uniformly jittered inside each cell (nerfacc does
+    this to avoid aliasing onto cell centers).
+    """
+    res = grid.resolution
+    pts = cell_centers(grid)
+    if key is not None:
+        cell_size = (grid.aabb[3:] - grid.aabb[:3]) / res
+        jitter = (jax.random.uniform(key, pts.shape) - 0.5) * cell_size
+        pts = pts + jitter
+    sigma = sigma_fn(pts).reshape(res, res, res)
+    occs = jnp.maximum(grid.occs * ema_decay, sigma)
+    thresh = jnp.minimum(jnp.mean(occs), occ_thre)
+    return OccupancyGrid(occs=occs, binary=occs > thresh, aabb=grid.aabb)
+
+
+def every_n_step(
+    grid: OccupancyGrid,
+    step: jnp.ndarray,
+    sigma_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    occ_thre: float,
+    n: int = 16,
+    ema_decay: float = 0.95,
+) -> OccupancyGrid:
+    """jit-safe "update every n steps" gate (lax.cond on step % n).
+    Ref: nerfacc every_n_step via nerf_helpers_acc.py:65-78."""
+    do = (step % n) == 0
+    return jax.lax.cond(
+        do,
+        lambda g: update_grid(g, sigma_fn, occ_thre, ema_decay),
+        lambda g: g,
+        grid,
+    )
+
+
+def world_to_index(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """World coords (..., 3) -> integer cell indices (..., 3), clipped."""
+    res = grid.resolution
+    lo, hi = grid.aabb[:3], grid.aabb[3:]
+    norm = (points - lo) / (hi - lo)
+    return jnp.clip((norm * res).astype(jnp.int32), 0, res - 1)
+
+
+def query_occ(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy lookup at world points; False outside the AABB.
+    Ref: nerfacc query_occ (visualization.py:214)."""
+    lo, hi = grid.aabb[:3], grid.aabb[3:]
+    inside = jnp.all((points >= lo) & (points <= hi), axis=-1)
+    idx = world_to_index(grid, points)
+    occ = grid.binary[idx[..., 0], idx[..., 1], idx[..., 2]]
+    return occ & inside
+
+
+def ray_aabb_intersect(
+    aabb: jnp.ndarray, origins: jnp.ndarray, directions: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab-method ray/AABB intersection -> (t_enter, t_exit) per ray.
+    Rays that miss get t_enter > t_exit."""
+    lo, hi = aabb[:3], aabb[3:]
+    inv = 1.0 / jnp.where(jnp.abs(directions) < 1e-10, 1e-10, directions)
+    t0 = (lo - origins) * inv
+    t1 = (hi - origins) * inv
+    t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return t_enter, t_exit
+
+
+class MarchedRays(NamedTuple):
+    """Fixed-width sample lattice (the nerfacc ragged-output replacement)."""
+
+    t_starts: jnp.ndarray  # (n_rays, n_samples)
+    t_ends: jnp.ndarray  # (n_rays, n_samples)
+    positions: jnp.ndarray  # (n_rays, n_samples, 3) segment midpoints
+    mask: jnp.ndarray  # (n_rays, n_samples) float {0,1}: inside AABB & occupied
+
+
+def march_rays(
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    n_samples: int,
+    near: float,
+    far: float,
+) -> MarchedRays:
+    """Uniform-step grid-pruned marching with fixed output shapes.
+
+    Matches nerfacc.ray_marching's stepping (render_step_size =
+    (far-near)/n_samples, nerf_helpers_acc.py:27-29) with occupancy pruning
+    via gather instead of DDA; AABB clipping via slab intersection.
+    """
+    step = (far - near) / n_samples
+    i = jnp.arange(n_samples, dtype=jnp.float32)
+    t_starts = near + i * step  # (n_samples,)
+    t_starts = jnp.broadcast_to(t_starts, origins.shape[:-1] + (n_samples,))
+    t_ends = t_starts + step
+    t_mid = (t_starts + t_ends) / 2.0
+
+    positions = origins[..., None, :] + directions[..., None, :] * t_mid[..., None]
+
+    t_enter, t_exit = ray_aabb_intersect(grid.aabb, origins, directions)
+    in_box = (t_mid >= t_enter[..., None]) & (t_mid <= t_exit[..., None])
+    occupied = query_occ(grid, positions)
+    mask = (in_box & occupied).astype(jnp.float32)
+
+    return MarchedRays(t_starts=t_starts, t_ends=t_ends, positions=positions, mask=mask)
+
+
+def prune_mask(
+    sigma: jnp.ndarray,
+    dists: jnp.ndarray,
+    mask: jnp.ndarray,
+    alpha_thre: float = 0.0,
+    early_stop_eps: float = 0.0,
+) -> jnp.ndarray:
+    """Refine a marching mask with nerfacc's alpha-threshold and
+    transmittance early-stop semantics (nerf_helpers_acc.py:10-31).
+
+    * samples whose provisional alpha ``1 - exp(-sigma*dt)`` is below
+      ``alpha_thre`` are dropped (treated as empty);
+    * samples after accumulated transmittance falls below
+      ``early_stop_eps`` are dropped (ray terminated).
+    All on stop_gradient(sigma): pruning must not leak into the backward
+    pass, matching the reference's no_grad marching (run_nerf_acc.py:284-287).
+    """
+    s = jax.lax.stop_gradient(sigma)
+    keep = mask
+    if alpha_thre > 0.0:
+        provisional_alpha = 1.0 - jnp.exp(-s * dists)
+        keep = keep * (provisional_alpha >= alpha_thre).astype(jnp.float32)
+    if early_stop_eps > 0.0:
+        tau = s * dists * keep
+        # transmittance *before* each sample (exclusive cumsum)
+        trans = jnp.exp(-(jnp.cumsum(tau, axis=-1) - tau))
+        keep = keep * (trans >= early_stop_eps).astype(jnp.float32)
+    return keep

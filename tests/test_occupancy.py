@@ -1,0 +1,149 @@
+"""Occupancy grid + fixed-width marching tests (the nerfacc replacement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_for_angiography_tpu.ops import (
+    cell_centers,
+    create_grid,
+    every_n_step,
+    march_rays,
+    prune_mask,
+    query_occ,
+    ray_aabb_intersect,
+    render_xray,
+    update_grid,
+)
+
+AABB = jnp.array([-100.0, -100.0, -100.0, 100.0, 100.0, 100.0])
+
+
+def sphere_sigma(points, radius=30.0, value=0.9):
+    r = jnp.linalg.norm(points, axis=-1)
+    return jnp.where(r < radius, value, 0.0)
+
+
+def test_create_grid_starts_fully_occupied():
+    g = create_grid(AABB, 16)
+    assert bool(jnp.all(g.binary))
+    assert g.resolution == 16
+
+
+def test_cell_centers_cover_aabb():
+    g = create_grid(AABB, 8)
+    c = np.asarray(cell_centers(g))
+    assert c.shape == (512, 3)
+    assert c.min() == pytest.approx(-100 + 200 / 16, abs=1e-4)
+    assert c.max() == pytest.approx(100 - 200 / 16, abs=1e-4)
+
+
+def test_update_grid_learns_sphere():
+    g = create_grid(AABB, 32)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    # center occupied, far corner not
+    assert bool(query_occ(g, jnp.array([0.0, 0.0, 0.0])))
+    assert not bool(query_occ(g, jnp.array([90.0, 90.0, 90.0])))
+    # occupied fraction ~ sphere volume / box volume
+    frac = float(jnp.mean(g.binary))
+    want = (4 / 3 * np.pi * 30**3) / 200**3
+    assert frac == pytest.approx(want, rel=0.3)
+
+
+def test_update_grid_ema_decay():
+    g = create_grid(AABB, 8)
+    g1 = update_grid(g, lambda p: jnp.full(p.shape[:-1], 0.8), occ_thre=1e-2)
+    np.testing.assert_allclose(np.asarray(g1.occs), 0.8, atol=1e-6)
+    # now the field goes dark; occs decays by 0.95 per update
+    g2 = update_grid(g1, lambda p: jnp.zeros(p.shape[:-1]), occ_thre=1e-2)
+    np.testing.assert_allclose(np.asarray(g2.occs), 0.8 * 0.95, atol=1e-6)
+
+
+def test_every_n_step_gates_updates():
+    g = create_grid(AABB, 8)
+    fn = lambda p: jnp.full(p.shape[:-1], 0.5)  # noqa: E731
+    g_updated = every_n_step(g, jnp.int32(0), fn, occ_thre=1e-2)
+    g_skipped = every_n_step(g, jnp.int32(7), fn, occ_thre=1e-2)
+    assert float(jnp.max(g_updated.occs)) == pytest.approx(0.5)
+    assert float(jnp.max(g_skipped.occs)) == 0.0
+
+
+def test_query_occ_outside_aabb_false():
+    g = create_grid(AABB, 8)
+    assert not bool(query_occ(g, jnp.array([500.0, 0.0, 0.0])))
+
+
+def test_ray_aabb_intersect():
+    o = jnp.array([[0.0, 0.0, 1500.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    t0, t1 = ray_aabb_intersect(AABB, o, d)
+    assert float(t0[0]) == pytest.approx(1400.0)
+    assert float(t1[0]) == pytest.approx(1600.0)
+    # miss
+    o2 = jnp.array([[0.0, 500.0, 1500.0]])
+    t0m, t1m = ray_aabb_intersect(AABB, o2, d)
+    assert float(t0m[0]) > float(t1m[0])
+
+
+def test_march_rays_masks_empty_space():
+    g = create_grid(AABB, 32)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    o = jnp.array([[0.0, 0.0, 1500.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    m = march_rays(g, o, d, 300, 1400.0, 1600.0)
+    assert m.mask.shape == (1, 300)
+    # only samples within |z| < ~30 are active
+    z = np.asarray(m.positions[0, :, 2])
+    active = np.asarray(m.mask[0]) > 0
+    assert np.all(np.abs(z[active]) <= 32.0)
+    assert 0 < active.sum() < 120
+
+
+def test_march_plus_render_matches_dense_render():
+    """Grid-pruned masked render == dense render for a sphere phantom."""
+    g = create_grid(AABB, 64)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    o = jnp.array([[0.0, 0.0, 1500.0], [50.0, 0.0, 1500.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    n = 400
+    m = march_rays(g, o, d, n, 1400.0, 1600.0)
+    sigma = sphere_sigma(m.positions)
+    dists = np.asarray(m.t_ends - m.t_starts)
+    pruned = render_xray(sigma, (m.t_starts + m.t_ends) / 2, None, mask=m.mask, dists=m.t_ends - m.t_starts)
+    dense = render_xray(sigma, (m.t_starts + m.t_ends) / 2, None, dists=m.t_ends - m.t_starts)
+    # the sphere sigma is zero outside the grid-active region anyway
+    np.testing.assert_allclose(
+        np.asarray(pruned.pixels), np.asarray(dense.pixels), rtol=1e-5
+    )
+    # analytic: chord through center = 2*30 => exp(-0.9*60)
+    assert float(pruned.pixels[0]) == pytest.approx(np.exp(-0.9 * 60.0), rel=0.05)
+
+
+def test_prune_mask_alpha_threshold():
+    sigma = jnp.array([[1e-6, 0.5, 1e-6, 0.5]])
+    dists = jnp.ones((1, 4))
+    mask = jnp.ones((1, 4))
+    kept = np.asarray(prune_mask(sigma, dists, mask, alpha_thre=1e-3))
+    np.testing.assert_array_equal(kept, [[0.0, 1.0, 0.0, 1.0]])
+
+
+def test_prune_mask_early_stop():
+    # huge optical depth at sample 1 -> transmittance collapses after it
+    sigma = jnp.array([[0.1, 50.0, 0.1, 0.1]])
+    dists = jnp.ones((1, 4))
+    mask = jnp.ones((1, 4))
+    kept = np.asarray(prune_mask(sigma, dists, mask, early_stop_eps=1e-2))
+    np.testing.assert_array_equal(kept, [[1.0, 1.0, 0.0, 0.0]])
+
+
+def test_march_is_jittable():
+    g = create_grid(AABB, 16)
+
+    @jax.jit
+    def run(grid, o, d):
+        m = march_rays(grid, o, d, 64, 1400.0, 1600.0)
+        return m.mask.sum()
+
+    out = run(g, jnp.zeros((4, 3)).at[:, 2].set(1500.0), jnp.zeros((4, 3)).at[:, 2].set(-1.0))
+    assert np.isfinite(float(out))
