@@ -1,0 +1,146 @@
+"""Training configuration.
+
+One dataclass per entry point (SURVEY.md §5 config plan) with a CLI shim
+exposing exactly the reference's flags and defaults
+(run_nerf_acc.py:25-47: --limited_size --number_angles --center_point
+--binary --sampling_strategy --data_name --num_layers --num_hidden_units),
+plus the module-level constants from run_nerf_acc.py:59-183 as fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+
+from ..models import CPPNConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # reference CLI flags (run_nerf_acc.py:40-47)
+    limited_size: float = 180.0
+    number_angles: float = 4.0
+    center_point: tuple[float, float] = (90.0, 0.0)
+    binary: bool = False
+    sampling_strategy: str = "frangi"  # frangi | segmentation | random
+    data_name: str = "ct"
+    num_layers: int = 4
+    num_hidden_units: int = 128
+
+    # schedule (run_nerf_acc.py:129-167)
+    n_iters: int = 500_000
+    early_stop_iters: int = 50_000
+    display_every: int = 500
+    save_every_factor: int = 100  # save_every = display_every * 100
+    depth_samples_per_ray: int = 300
+    coarse_lr: float = 1e-4
+    decay_rate: float = 0.1
+    decay_steps: int = 500 * 1000  # lr_decay(500) * 1000
+    sample_size: int = 75  # rays per dim per iter -> batch = sample_size^2
+    sample_mode: str = "pixel"  # 'pixel' | 'image'
+
+    # scene bounds (run_nerf_acc.py:66,131-134,196)
+    outside: float = 100.0
+
+    # nerfacc-equivalent marching params (run_nerf_acc.py:68-70)
+    early_stop_eps: float = 1e-2
+    alpha_thre: float = 1e-4
+    vessel_alpha_thre: float = 5e-2
+    grid_resolution: int = 128
+    grid_update_every: int = 16
+    grid_ema_decay: float = 0.95
+
+    # positional encoding / BARF (run_nerf_acc.py:160-167)
+    pos_enc: str = "none"
+    pos_enc_basis: int = 5
+    fourier_sigma: float = 5.0
+    barf_start: int = 8000
+    barf_stop: int = 250_000
+
+    # parallelism (no reference counterpart; SURVEY.md §2 parallelism)
+    data_axis: str = "data"
+
+    seed: int = 0
+
+    @property
+    def img_sample_size(self) -> int:
+        return self.sample_size**2
+
+    @property
+    def save_every(self) -> int:
+        return self.display_every * self.save_every_factor
+
+    def model_config(self) -> CPPNConfig:
+        """The reference's model params dict (run_nerf_acc.py:168-183)."""
+        return CPPNConfig(
+            num_early_layers=self.num_layers,
+            num_late_layers=0,
+            num_filters=self.num_hidden_units,
+            num_input_channels=3,
+            num_output_channels=1,
+            num_input_channels_views=0,
+            use_bias=True,
+            pos_enc=self.pos_enc,
+            pos_enc_basis=self.pos_enc_basis,
+            act_func="relu",
+            fourier_sigma=self.fourier_sigma,
+            num_img=1,
+        )
+
+    @property
+    def file_name(self) -> str:
+        """Experiment file naming (run_nerf_acc.py:72-79, cathlab branch)."""
+        return "clinical-angles"
+
+
+def parse_train_args(argv=None) -> TrainConfig:
+    """CLI shim with the exact reference flags and defaults
+    (run_nerf_acc.py:25-47)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--limited_size", help="Angle range to sample the projections in")
+    p.add_argument("--number_angles", help="Number of projections to sample per axis")
+    p.add_argument("--center_point", help="Center point for the angle sampling")
+    p.add_argument("--binary", help="Whether images are binary or not")
+    p.add_argument(
+        "--sampling_strategy",
+        help="What sampling strategy to use, options: frangi, segmentation or random",
+    )
+    p.add_argument("--data_name", help="Either CT data or LCA data")
+    p.add_argument("--num_layers", help="Number of layers for MLP")
+    p.add_argument("--num_hidden_units", help="Number of hidden units for MLP")
+    p.add_argument("--data_dir", default="data", help="dataset root directory")
+    p.add_argument("--n_iters", default=None, help="override max iterations")
+    a = p.parse_args(argv)
+
+    kw = {}
+    if a.limited_size is not None:
+        kw["limited_size"] = float(a.limited_size)
+    if a.number_angles is not None:
+        kw["number_angles"] = float(a.number_angles)
+    if a.center_point is not None:
+        kw["center_point"] = tuple(ast.literal_eval(a.center_point))
+    if a.binary is not None:
+        kw["binary"] = a.binary == "True"
+    if a.sampling_strategy is not None:
+        kw["sampling_strategy"] = a.sampling_strategy
+    if a.data_name:
+        kw["data_name"] = a.data_name
+    if a.num_layers:
+        kw["num_layers"] = int(a.num_layers)
+    if a.num_hidden_units:
+        kw["num_hidden_units"] = int(a.num_hidden_units)
+    if a.n_iters:
+        kw["n_iters"] = int(a.n_iters)
+    cfg = TrainConfig(**kw)
+    return cfg, a.data_dir
+
+
+def categories_for(cfg: TrainConfig) -> list[str]:
+    """Experiment categorization (run_nerf_acc.py:49-54)."""
+    cats = ["Background"]
+    if cfg.binary:
+        cats = ["Sparse projections", "Limited projections"]
+    if cfg.num_hidden_units != 128 or cfg.num_layers != 4:
+        cats = ["Model architecture"]
+    return cats

@@ -1,0 +1,237 @@
+"""Training driver: the outer loop around the jitted step.
+
+Mirrors run_nerf_acc.py's experiment behavior end-to-end: periodic eval on
+the held-out view, best-checkpoint selection on vessel PSNR (plain PSNR for
+binary/random runs, run_nerf_acc.py:376), early stop after
+``early_stop_iters`` stale evaluations (:434-440), TensorBoard logging with
+the reference's tags, grid VTK exports, readme.txt and the page_data
+experiment-metadata dict (:236-251) — while keeping the hot path free of
+host round trips: metrics are only fetched on logging steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from datetime import datetime
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import RayDataset
+from .checkpoint import (
+    CheckpointManager,
+    save_grid_vtk,
+    save_model,
+)
+from .config import TrainConfig, categories_for
+from .logging import ExperimentLogger
+from .train import (
+    TestView,
+    create_train_state,
+    drop_test_view,
+    make_eval_step,
+    make_test_view,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: Any
+    best_psnr: float
+    best_iter: int
+    last_psnr: float
+    iters_run: int
+    rays_per_sec: float
+    page_data: dict
+
+
+def build_page_data(cfg: TrainConfig, exp_name: str) -> dict:
+    """Experiment metadata dict (run_nerf_acc.py:236-251)."""
+    sampling = {
+        "frangi": "Frangi sampling",
+        "segmentation": "Segmentation sampling",
+        "random": "Random sampling",
+    }[cfg.sampling_strategy]
+    return {
+        "ID": exp_name,
+        "Date start": datetime.now().astimezone().isoformat(),
+        "Category": categories_for(cfg),
+        "Sparse projections": int((cfg.number_angles + 1) ** 2),
+        "Limited projections": int(cfg.limited_size),
+        "Translation": "None",
+        "Rotation": "None",
+        "Data": cfg.data_name.upper(),
+        "Binary": cfg.binary,
+        "Sampling": [sampling, "AccNeRF"],
+        "Model architecture": f"{cfg.num_layers}x{cfg.num_hidden_units}",
+        "Positional encoding": cfg.pos_enc.capitalize(),
+        "Learning rate": cfg.coarse_lr,
+        "Centerpoint": f"({cfg.center_point[0]} {cfg.center_point[1]})",
+    }
+
+
+def train(
+    cfg: TrainConfig,
+    rays: RayDataset,
+    src_pt_z: float,
+    log_dir: str | None = None,
+    test_view_index: int | None = None,
+    rays_per_view: int | None = None,
+    verbose: bool = True,
+    checkpoint_every: int | None = None,
+    mesh: jax.sharding.Mesh | None = None,
+) -> TrainResult:
+    """Train one reconstruction. ``rays`` holds every view's pixels;
+    the test view (default: last) is held out (run_nerf_acc.py:84-86).
+
+    near/far = src_pt_z -+ outside (run_nerf_acc.py:131-134).
+    """
+    near = src_pt_z - cfg.outside
+    far = src_pt_z + cfg.outside
+
+    if rays_per_view is None:
+        n_views = int(np.asarray(rays.image_ids).max()) + 1
+        rays_per_view = rays.num_rays // n_views
+    else:
+        n_views = rays.num_rays // rays_per_view
+    if test_view_index is None:
+        test_view_index = n_views - 1
+
+    test = make_test_view(rays, test_view_index, rays_per_view)
+    train_rays = drop_test_view(rays, test_view_index, rays_per_view)
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_leading_axis
+
+        train_rays = shard_leading_axis(train_rays, mesh)
+
+    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    train_step = make_train_step(model, cfg, near, far)
+    eval_step = make_eval_step(model, cfg, near, far)
+
+    exp_name = datetime.now().astimezone().strftime("%Y-%m-%d-%H%M")
+    page_data = build_page_data(cfg, exp_name)
+    logger = ExperimentLogger(log_dir) if log_dir else None
+    ckpt_mgr = (
+        CheckpointManager(os.path.join(log_dir, "ckpt")) if log_dir and checkpoint_every else None
+    )
+
+    highest_psnr = -np.inf
+    highest_iter = 0
+    last_psnr = float("nan")
+    t_start = time.perf_counter()
+    rays_done = 0
+
+    n_iter = 0
+    for n_iter in range(cfg.n_iters + 1):
+        state, metrics, pred_pix, target_pix = train_step(state, train_rays)
+        rays_done += cfg.img_sample_size
+
+        if logger and n_iter % 100 == 0:
+            logger.scalars({k: v for k, v in metrics.items() if k != "barf-coarse"}, n_iter)
+            p = np.asarray(pred_pix).reshape(cfg.sample_size, cfg.sample_size)
+            t = np.asarray(target_pix).reshape(cfg.sample_size, cfg.sample_size)
+            logger.train_images(p, t, n_iter)
+
+        if n_iter % cfg.display_every == 0:
+            test_metrics, test_pixels = eval_step(state, test)
+            psnr = float(test_metrics["psnr/test-coarse"])
+            vessel_psnr = float(test_metrics["psnr/vessel-test-coarse"])
+            last_psnr = psnr
+
+            # best-model criterion (run_nerf_acc.py:376)
+            check = (
+                psnr
+                if cfg.binary or cfg.sampling_strategy == "random"
+                else vessel_psnr
+            )
+            if verbose:
+                it_time = (time.perf_counter() - t_start) / max(n_iter, 1)
+                print(
+                    f"Iteration: {n_iter}  Loss coarse: {float(test_metrics['loss/test-pixel-coarse']):.6f}  "
+                    f"PSNR coarse: {psnr:.3f}  Vessel coarse: {vessel_psnr:.3f}  "
+                    f"({it_time*1000:.2f} ms/iter)"
+                )
+
+            if logger and n_iter % (cfg.display_every * 2) == 0:
+                logger.scalars(test_metrics, n_iter)
+                img = _assemble_image(test, test_pixels)
+                tgt = _assemble_image(test, test.pixel_values)
+                logger.test_images(img, tgt, n_iter)
+
+            if log_dir:
+                save_grid_vtk(os.path.join(log_dir, "coarsegrid.vtk"), state.grid)
+                save_grid_vtk(
+                    os.path.join(log_dir, "coarsevesselgrid.vtk"), state.vessel_grid
+                )
+
+            if check >= highest_psnr and n_iter > 0:
+                highest_psnr = check
+                highest_iter = n_iter
+                if log_dir:
+                    save_model(
+                        os.path.join(log_dir, "highmodel.npz"),
+                        cfg.model_config().to_model_definition(),
+                        state.params,
+                        {"step": n_iter, "psnr": psnr, "vessel_psnr": vessel_psnr},
+                    )
+                    save_grid_vtk(os.path.join(log_dir, "highgrid.vtk"), state.grid)
+                    save_grid_vtk(
+                        os.path.join(log_dir, "highvesselgrid.vtk"), state.vessel_grid
+                    )
+                    page_data["Date end"] = datetime.now().astimezone().isoformat()
+                    page_data["PSNR"] = round(psnr, 2)
+                    page_data["Vessel PSNR"] = round(vessel_psnr, 2)
+                    with open(os.path.join(log_dir, "readme.txt"), "w") as f:
+                        for k, v in page_data.items():
+                            f.write(f"{k}={v}\n")
+                        f.write(f"PSNR={psnr} end={datetime.now().astimezone().strftime('%Y-%m-%d-%H%M')}")
+
+            if n_iter % cfg.save_every == 0 and log_dir:
+                save_model(
+                    os.path.join(log_dir, "coarsemodel.npz"),
+                    cfg.model_config().to_model_definition(),
+                    state.params,
+                    {"step": n_iter},
+                )
+
+            if ckpt_mgr and checkpoint_every and n_iter % checkpoint_every == 0 and n_iter > 0:
+                ckpt_mgr.save(n_iter, state)
+
+            # early stop (run_nerf_acc.py:434-440)
+            if n_iter - highest_iter >= cfg.early_stop_iters:
+                if verbose:
+                    print(f"Early stop = {n_iter}")
+                break
+
+    elapsed = time.perf_counter() - t_start
+    rays_per_sec = rays_done / elapsed if elapsed > 0 else 0.0
+
+    if logger:
+        logger.close()
+    if ckpt_mgr:
+        ckpt_mgr.close()
+    return TrainResult(
+        state=state,
+        best_psnr=float(highest_psnr),
+        best_iter=int(highest_iter),
+        last_psnr=float(last_psnr),
+        iters_run=int(n_iter),
+        rays_per_sec=float(rays_per_sec),
+        page_data=page_data,
+    )
+
+
+def _assemble_image(test: TestView, pixel_values) -> np.ndarray:
+    """Scatter per-ray values back into the (W, H) test image layout the
+    reference uses (test_img[x_positions, y_positions], run_nerf_acc.py:97-99)."""
+    img = np.zeros((test.img_width, test.img_height), np.float32)
+    img[np.asarray(test.x_positions), np.asarray(test.y_positions)] = np.asarray(
+        pixel_values
+    )
+    return img

@@ -1,0 +1,169 @@
+"""Training runtime tests: one jitted step, end-to-end micro-train, early
+stop, checkpoint round-trips."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_for_angiography_tpu.data import (
+    DatagenConfig,
+    generate_dataset,
+    make_sphere_volume,
+    make_vessel_volume,
+)
+from nerf_for_angiography_tpu.training import (
+    TrainConfig,
+    create_train_state,
+    load_grid_vtk,
+    load_model,
+    make_eval_step,
+    make_test_view,
+    make_train_step,
+    save_grid_vtk,
+    save_model,
+    train,
+)
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        depth_samples_per_ray=64,
+        sample_size=16,
+        grid_resolution=16,
+        outside=100.0,
+        display_every=50,
+        n_iters=150,
+        early_stop_iters=10_000,
+        coarse_lr=5e-3,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def sphere_data():
+    vol = make_sphere_volume(res=48, extent=75.0, radius=30.0, mu=0.02)
+    cfg = DatagenConfig(
+        limited_size=90.0, number_angles=2.0, img_width=24, img_height=24,
+        sample_outside=100.0, stratified_depths=False,
+    )
+    return generate_dataset(vol, cfg)
+
+
+def test_single_train_step_runs_and_updates(sphere_data):
+    cfg = tiny_cfg()
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, near=1400.0, far=1600.0)
+    p0 = jax.tree.map(np.array, state.params)
+    state, metrics, pred, tgt = step(state, sphere_data.rays)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p0, jax.tree.map(np.array, state.params),
+    )
+    assert max(jax.tree.leaves(diffs)) > 0  # params moved
+
+
+def test_eval_step_psnr_finite(sphere_data):
+    cfg = tiny_cfg()
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    n_views = int(np.asarray(sphere_data.rays.image_ids).max()) + 1
+    rpv = sphere_data.rays.num_rays // n_views
+    test = make_test_view(sphere_data.rays, n_views - 1, rpv)
+    ev = make_eval_step(model, cfg, 1400.0, 1600.0)
+    metrics, pixels = ev(state, test)
+    assert np.isfinite(float(metrics["psnr/test-coarse"]))
+    assert pixels.shape == (rpv,)
+
+
+def test_end_to_end_micro_train_psnr_rises(sphere_data):
+    """The SURVEY.md §7 minimum slice: PSNR on the held-out view must rise
+    substantially within a couple hundred iterations."""
+    cfg = tiny_cfg(n_iters=150)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    n_views = int(np.asarray(sphere_data.rays.image_ids).max()) + 1
+    rpv = sphere_data.rays.num_rays // n_views
+    test = make_test_view(sphere_data.rays, n_views - 1, rpv)
+    ev = make_eval_step(model, cfg, 1400.0, 1600.0)
+    psnr_before = float(ev(state, test)[0]["psnr/test-coarse"])
+
+    result = train(
+        cfg, sphere_data.rays, src_pt_z=1500.0, log_dir=None, verbose=False
+    )
+    psnr_after = result.last_psnr
+    assert psnr_after > psnr_before + 5.0, (psnr_before, psnr_after)
+    assert psnr_after > 15.0
+    assert result.rays_per_sec > 0
+
+
+def test_early_stop(sphere_data, monkeypatch):
+    """Training stops once no eval improves for early_stop_iters
+    (run_nerf_acc.py:434-440). Force a decreasing PSNR sequence."""
+    from nerf_for_angiography_tpu.training import loop as loop_mod
+
+    def fake_make_eval_step(model, cfg, near, far):
+        counter = {"n": 0}
+
+        def ev(state, test):
+            counter["n"] += 1
+            psnr = 30.0 - counter["n"]  # strictly decreasing -> no new best
+            z = jnp.zeros(test.pixel_values.shape)
+            return {
+                "loss/test-pixel-coarse": jnp.float32(0.1),
+                "psnr/test-coarse": jnp.float32(psnr),
+                "psnr/vessel-test-coarse": jnp.float32(psnr),
+            }, z
+
+        return ev
+
+    monkeypatch.setattr(loop_mod, "make_eval_step", fake_make_eval_step)
+    cfg = tiny_cfg(n_iters=100_000, early_stop_iters=40, display_every=20)
+    result = train(cfg, sphere_data.rays, src_pt_z=1500.0, verbose=False)
+    # best set at first eval (iter 0 is excluded; iter 20 becomes best) and
+    # never beaten -> stop at iter 60
+    assert result.iters_run <= 120
+
+
+def test_train_with_artifacts(tmp_path, sphere_data):
+    cfg = tiny_cfg(n_iters=100, display_every=50)
+    log_dir = str(tmp_path / "run")
+    os.makedirs(log_dir)
+    result = train(cfg, sphere_data.rays, src_pt_z=1500.0, log_dir=log_dir, verbose=False)
+    assert os.path.exists(os.path.join(log_dir, "coarsegrid.vtk"))
+    assert os.path.exists(os.path.join(log_dir, "coarsevesselgrid.vtk"))
+    assert os.path.exists(os.path.join(log_dir, "highmodel.npz"))
+    assert os.path.exists(os.path.join(log_dir, "readme.txt"))
+    assert result.page_data["Model architecture"] == "4x128"
+
+    meta, params = load_model(os.path.join(log_dir, "highmodel.npz"))
+    assert meta["parameters"]["num_filters"] == 128
+    # loaded params numerically match state
+    got = np.asarray(params["params"]["output_linear"]["kernel"])
+    want = np.asarray(result.state.params["params"]["output_linear"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_grid_vtk_roundtrip(tmp_path, sphere_data):
+    cfg = tiny_cfg(n_iters=40, display_every=20)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, 1400.0, 1600.0)
+    for _ in range(20):
+        state, *_ = step(state, sphere_data.rays)
+    p = str(tmp_path / "grid.vtk")
+    save_grid_vtk(p, state.grid)
+    restored = load_grid_vtk(p, np.asarray(state.grid.aabb))
+    np.testing.assert_array_equal(
+        np.asarray(restored.binary), np.asarray(state.grid.binary)
+    )
+
+
+def test_barf_training_step(sphere_data):
+    cfg = tiny_cfg(pos_enc="barf", pos_enc_basis=4, barf_start=0, barf_stop=100)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, 1400.0, 1600.0)
+    state, metrics, *_ = step(state, sphere_data.rays)
+    assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
