@@ -1,0 +1,79 @@
+"""Benchmark: training throughput (rays/sec/chip) at the reference's
+flagship workload — 75^2 = 5,625 rays/iter, 300 samples/ray, 4x128 CPPN,
+128^3 occupancy grid with EMA updates every 16 steps (run_nerf_acc.py
+constants, BASELINE.md).
+
+Baseline protocol (SURVEY.md §6): the reference publishes no absolute
+throughput; its effective rate is 5,625 rays / measured iteration time on a
+single GPU. BASELINE_RAYS_PER_SEC below is the estimated single-GPU
+reference rate (5,625 rays / ~60 ms per iteration: pandas weighted sampling
+on the host each iteration + double MLP evaluation per sample dominate,
+SURVEY.md §3.1). vs_baseline = measured / baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 5,625 rays / 60 ms — estimated effective single-GPU rate of the reference
+# training loop (no published number exists; see module docstring).
+BASELINE_RAYS_PER_SEC = 93_750.0
+
+
+def main():
+    from nerf_for_angiography_tpu.data import (
+        DatagenConfig,
+        generate_dataset,
+        make_vessel_volume,
+    )
+    from nerf_for_angiography_tpu.training import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    # reference flagship workload (run_nerf_acc.py:129-183)
+    cfg = TrainConfig()  # 75^2 rays, 300 samples, 4x128, 128^3 grid
+    dcfg = DatagenConfig(
+        limited_size=180.0,
+        number_angles=4.0,  # (4+1)^2 + 1 views
+        img_width=100,
+        img_height=100,
+        sample_outside=100.0,
+        stratified_depths=False,
+    )
+    vol = make_vessel_volume(res=96)
+    ds = generate_dataset(vol, dcfg)
+
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, near=1400.0, far=1600.0)
+
+    # warmup + compile
+    for _ in range(3):
+        state, metrics, _, _ = step(state, ds.rays)
+    jax.block_until_ready(state.params)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics, _, _ = step(state, ds.rays)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t0
+
+    rays_per_sec = cfg.img_sample_size * iters / elapsed
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

