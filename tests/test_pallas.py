@@ -1,0 +1,93 @@
+"""Fused MLP Pallas kernel: forward/backward parity vs the flax CPPN
+(interpret mode on CPU; the same kernel compiles natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_for_angiography_tpu.models import CPPNConfig, init_cppn
+from nerf_for_angiography_tpu.ops.pallas.fused_mlp import (
+    cppn_params_to_list,
+    fused_mlp_raw,
+    list_grads_to_cppn,
+)
+
+N_HIDDEN = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = CPPNConfig(num_early_layers=N_HIDDEN, num_filters=128)
+    model, params = init_cppn(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3000, 3))
+    plist = cppn_params_to_list(params, N_HIDDEN)
+    return model, params, plist, x
+
+
+def test_forward_matches_flax(setup):
+    model, params, plist, x = setup
+    want = np.asarray(model.apply(params, x))[:, 0]
+    got = np.asarray(fused_mlp_raw(plist, x, True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)  # bf16 matmuls
+
+
+def test_forward_f32_reference_close(setup):
+    """Against a pure-f32 numpy forward, bf16 error stays small."""
+    _, _, plist, x = setup
+    h = np.asarray(x)
+    (w_in, b_in), *hidden, (w_out, b_out) = [
+        (np.asarray(w), np.asarray(b)) for w, b in plist
+    ]
+    h = np.maximum(h @ w_in + b_in, 0)
+    for w, b in hidden:
+        h = np.maximum(h @ w + b, 0)
+    want = (h @ w_out + b_out)[:, 0]
+    got = np.asarray(fused_mlp_raw(plist, x, True))
+    err = np.abs(got - want)
+    assert np.median(err) < 1e-2
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_backward_matches_flax(setup):
+    model, params, plist, x = setup
+
+    def loss_pallas(pl_):
+        raw = fused_mlp_raw(pl_, x, True)
+        return jnp.mean(jax.nn.sigmoid(raw) ** 2)
+
+    def loss_flax(p):
+        raw = model.apply(p, x)[:, 0]
+        return jnp.mean(jax.nn.sigmoid(raw) ** 2)
+
+    g_pallas = jax.grad(loss_pallas)(plist)
+    g_flax = jax.grad(loss_flax)(params)
+    gf = cppn_params_to_list(g_flax, N_HIDDEN)
+
+    for (dw_p, db_p), (dw_f, db_f) in zip(g_pallas, gf):
+        dw_p, dw_f = np.asarray(dw_p), np.asarray(dw_f).reshape(np.asarray(dw_p).shape)
+        scale = max(np.abs(dw_f).max(), 1e-8)
+        np.testing.assert_allclose(dw_p / scale, dw_f / scale, atol=0.03)
+        db_p, db_f = np.asarray(db_p), np.asarray(db_f).reshape(np.asarray(db_p).shape)
+        bscale = max(np.abs(db_f).max(), 1e-8)
+        np.testing.assert_allclose(db_p / bscale, db_f / bscale, atol=0.03)
+
+
+def test_grads_roundtrip_structure(setup):
+    model, params, plist, x = setup
+    g = jax.grad(lambda p: jnp.sum(fused_mlp_raw(p, x, True)))(plist)
+    tree = list_grads_to_cppn(g, params, N_HIDDEN)
+    assert tree["params"]["early_2"]["kernel"].shape == (128, 128)
+    # untouched leaves (img1/img2) are zero
+    np.testing.assert_array_equal(np.asarray(tree["params"]["img1"]), 0.0)
+
+
+def test_nonmultiple_tile_sizes(setup):
+    """P not a multiple of TILE must pad correctly."""
+    model, params, plist, _ = setup
+    for p in (1, 100, 2047, 2049):
+        x = jax.random.normal(jax.random.PRNGKey(p), (p, 3))
+        got = np.asarray(fused_mlp_raw(plist, x, True))
+        want = np.asarray(model.apply(params, x))[:, 0]
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
