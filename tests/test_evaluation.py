@@ -1,0 +1,209 @@
+"""Evaluation layer tests: metrics, perceptual stubs, heatmap exports, and a
+small end-to-end sweep on a trained micro-model."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from nerf_for_angiography_tpu.data import (
+    DatagenConfig,
+    generate_dataset,
+    make_sphere_volume,
+)
+from nerf_for_angiography_tpu.evaluation import (
+    EvalConfig,
+    PerceptualMetrics,
+    binarize,
+    convert_to_polar,
+    dice_binary,
+    dice_micro,
+    dot_score,
+    get_2d_heatmap,
+    gt_from_volume,
+    hemisphere_mask,
+    normalize_cam_poses,
+    psnr,
+    run_sweep,
+    ssim,
+    sweep_angles,
+)
+from nerf_for_angiography_tpu.training import TrainConfig, train
+from nerf_for_angiography_tpu.utils import read_vtk
+
+
+def test_psnr_identity():
+    x = jnp.ones((8, 8)) * 0.5
+    assert float(psnr(x, x + 0.1)) == pytest.approx(20.0, abs=0.01)
+
+
+def test_ssim_bounds_and_identity():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (32, 32))
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (32, 32))
+    s = float(ssim(x, y))
+    assert -1.0 <= s < 0.5
+
+
+def test_ssim_monotone_with_noise():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (32, 32))
+    s1 = float(ssim(x, x + 0.01))
+    s2 = float(ssim(x, x + 0.1))
+    assert s1 > s2
+
+
+def test_dice_micro_is_accuracy_for_dense_labels():
+    """torchmetrics Dice(average='micro') on dense binary maps == accuracy
+    (documented reference semantics)."""
+    p = jnp.array([[1, 0], [1, 1]])
+    t = jnp.array([[1, 1], [1, 1]])
+    assert float(dice_micro(p, t)) == pytest.approx(2 * 3 / (2 * 3 + 1 + 1))
+
+
+def test_dice_binary_overlap():
+    p = jnp.array([1, 1, 0, 0])
+    t = jnp.array([1, 0, 1, 0])
+    assert float(dice_binary(p, t)) == pytest.approx(2 * 1 / (2 + 2))
+
+
+def test_binarize_threshold():
+    img = jnp.array([0.2, 0.99, 1.0])
+    np.testing.assert_array_equal(np.asarray(binarize(img)), [0, 0, 1])
+
+
+def test_dot_score_normalized():
+    x = jnp.array([[0.0, 2.0]])
+    y = jnp.array([[0.0, 4.0]])
+    assert float(dot_score(x, y)) == pytest.approx(0.5)  # both normalize to [0,1]
+
+
+def test_perceptual_uncalibrated():
+    pm = PerceptualMetrics.uncalibrated()
+    assert not pm.calibrated
+    x = jax.random.uniform(jax.random.PRNGKey(0), (64, 64))
+    y = jax.random.uniform(jax.random.PRNGKey(1), (64, 64))
+    d_same = float(pm.lpips(x, x))
+    d_diff = float(pm.lpips(x, y))
+    assert d_same == pytest.approx(0.0, abs=1e-5)
+    assert d_diff > 1e-4
+    s_same = float(pm.dists(x, x))
+    s_diff = float(pm.dists(x, y))
+    assert s_same < s_diff
+
+
+def test_convert_to_polar():
+    t, r = convert_to_polar(np.array([1.0, 0.0]), np.array([0.0, 1.0]))
+    np.testing.assert_allclose(t, [0.0, np.round(np.pi / 2, 2)])
+    np.testing.assert_allclose(r, [1.0, 1.0])
+
+
+def test_hemisphere_masks():
+    th = np.array([45.0, -45.0, 135.0])
+    ph = np.array([0.0, 0.0, 0.0])
+    top = hemisphere_mask(th, ph, "X", "Z", "top")
+    np.testing.assert_array_equal(top, [True, False, True])
+    bot = hemisphere_mask(th, ph, "X", "Z", "bottom")
+    np.testing.assert_array_equal(bot, [False, True, False])
+
+
+def test_sweep_angles_grid():
+    a = sweep_angles(EvalConfig())
+    assert a.shape == (37 * 37, 2)
+    assert a[:, 0].min() == -180.0 and a[:, 0].max() == 180.0
+
+
+@pytest.mark.slow
+def test_end_to_end_sweep(tmp_path):
+    """Micro-train a sphere, sweep a coarse angle grid, check artifacts."""
+    vol = make_sphere_volume(res=48, extent=75.0, radius=30.0, mu=0.02)
+    dcfg = DatagenConfig(
+        limited_size=90.0, number_angles=2.0, img_width=20, img_height=20,
+        sample_outside=100.0, stratified_depths=False,
+    )
+    ds = generate_dataset(vol, dcfg)
+    tcfg = TrainConfig(
+        depth_samples_per_ray=48, sample_size=16, grid_resolution=16,
+        display_every=50, n_iters=150, coarse_lr=5e-3,
+    )
+    result = train(tcfg, ds.rays, src_pt_z=1500.0, verbose=False)
+
+    from nerf_for_angiography_tpu.models import CPPN
+
+    model = CPPN(tcfg.model_config())
+    ecfg = EvalConfig(
+        limited_size_vis=180.0, number_angles_vis=3.0, img_width=20,
+        img_height=20, sample_outside=100.0, depth_samples_per_ray=48,
+        outside=100.0, field_resolution=17, save_videos=False,
+        heatmap_metrics=("PSNR",),
+    )
+    gt = gt_from_volume(vol, ecfg)
+    out = str(tmp_path / "eval")
+    df = run_sweep(
+        model, result.state.params, result.state.grid, ecfg, gt, out,
+        page_data=result.page_data, verbose=False,
+    )
+    assert len(df) == 16  # arange(-90, 91, 60) -> 4 thetas x 4 phis
+    # metric table exists with the schema columns
+    md = pd.read_csv(os.path.join(out, "df-metrics.csv"), sep=";", index_col=0)
+    for col in ("image_id", "theta", "phi", "theta_360", "cam_pose_x", "PSNR"):
+        assert col in md.columns
+    # a reasonable fraction of views reconstruct decently
+    assert md["PSNR"].mean() > 12.0
+    # VTK field written and readable
+    g = read_vtk(os.path.join(out, "coarse-field.vtk"))
+    assert g.dimensions == (17, 17, 17)
+    # heatmap JSONs exist
+    json_root = os.path.join(out, "jsonData")
+    found = []
+    for root, _, files in os.walk(json_root):
+        found += [f for f in files if f.endswith(".json")]
+    assert any(f.startswith("PSNR-top") for f in found)
+    # per-angle image JSON round-trips
+    pa = [f for f in found if not f.startswith("PSNR")]
+    assert len(pa) > 0
+    # summary stats file
+    assert os.path.exists(os.path.join(out, "metrics-summary.txt"))
+
+
+def test_heatmap_json_structure(tmp_path):
+    """Synthetic df -> JSON with rad sorted descending and matching the
+    cag-vis consumption format (ReactHeatmap.js:245-363)."""
+    n = 5
+    th = np.repeat(np.linspace(0, 180, n), n)
+    ph = np.tile(np.linspace(-90, 90, n), n)
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(
+        {
+            "theta": th, "phi": ph,
+            "cam_pose_x": np.sin(np.deg2rad(th)) * np.cos(np.deg2rad(ph)),
+            "cam_pose_y": np.sin(np.deg2rad(th)) * np.sin(np.deg2rad(ph)),
+            "cam_pose_z": np.cos(np.deg2rad(th)),
+            "PSNR": rng.rand(n * n) * 30,
+            "pred_img": [rng.rand(4).tolist() for _ in range(n * n)],
+            "org_img": [rng.rand(4).tolist() for _ in range(n * n)],
+        }
+    )
+    normalize_cam_poses(df)
+    out = str(tmp_path)
+    obj = get_2d_heatmap(
+        df, out, os.path.join(out, "exp"), name="top", x_axis="X", y_axis="Z",
+        metric="PSNR", vminmax=(15, 50), save_png=False,
+    )
+    assert obj is not None
+    assert set(obj.keys()) == {"rad", "theta", "angles", "vals"}
+    rads = obj["rad"]
+    assert all(rads[i] >= rads[i + 1] for i in range(len(rads) - 1))
+    with open(os.path.join(out, "exp", "PSNR-top-X-Z.json")) as f:
+        loaded = json.load(f)
+    assert loaded["vals"] == obj["vals"]
+    # per-angle files contain pred/org/diff
+    a0 = obj["angles"][0]
+    with open(os.path.join(out, "exp", f"{a0[0]}{a0[1]}.json")) as f:
+        per = json.load(f)
+    assert set(per.keys()) == {"pred", "org", "diff"}
