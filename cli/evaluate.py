@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Evaluation/export CLI — the reference's ``visualization/visualization.py``
+entry point with its flag surface (visualization.py:47-57: --binary,
+--data_name) plus explicit run/volume paths.
+
+For each run under cases/<data_name>/runs/: restores the model bundle and
+occupancy grid, renders the 37x37 sweep, computes metrics, writes
+df-metrics.csv, PNGs, VTK field, videos, heatmap PNG + cag-vis JSONs.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--binary", help="Whether images are binary or not")
+    p.add_argument("--data_name", default="ct", help="Either CT data or LCA data")
+    p.add_argument("--run_dir", default=None, help="specific run directory")
+    p.add_argument(
+        "--volume", default="phantom:vessel",
+        help="GT volume: VTK path or phantom:vessel / phantom:sphere",
+    )
+    p.add_argument("--perceptual_weights", default=None,
+                   help=".npz from tools/convert_perceptual_weights.py")
+    a = p.parse_args(argv)
+    binary = a.binary == "True"
+
+    import jax
+    import numpy as np
+
+    from nerf_for_angiography_tpu.data import make_sphere_volume, make_vessel_volume
+    from nerf_for_angiography_tpu.data.volumes import load_ct_volume, load_sdf_volume
+    from nerf_for_angiography_tpu.evaluation import (
+        EvalConfig,
+        PerceptualMetrics,
+        gt_from_volume,
+        lca_eval_config,
+        run_sweep,
+    )
+    from nerf_for_angiography_tpu.models import CPPN, CPPNConfig
+    from nerf_for_angiography_tpu.ops.interpolation import trilinear
+    from nerf_for_angiography_tpu.training import load_grid_vtk, load_model
+
+    is_lca = a.data_name.upper() == "LCA"
+    cfg = lca_eval_config(binary=binary) if is_lca else EvalConfig(binary=binary)
+
+    if a.volume == "phantom:vessel":
+        volume = make_vessel_volume()
+    elif a.volume == "phantom:sphere":
+        volume = make_sphere_volume()
+    elif is_lca:
+        volume = load_sdf_volume(a.volume)
+    else:
+        volume = load_ct_volume(a.volume, binary=binary)
+
+    perceptual = None
+    if a.perceptual_weights:
+        perceptual = PerceptualMetrics.from_npz(a.perceptual_weights)
+        cfg = EvalConfig(**{**cfg.__dict__, "metrics": cfg.metrics + ("LPIPS", "DISTS")})
+
+    if a.run_dir:
+        run_dirs = [a.run_dir]
+    else:
+        root = os.path.join("cases", a.data_name, "runs")
+        run_dirs = sorted(
+            (os.path.join(root, d) for d in os.listdir(root)), reverse=True
+        )
+
+    for rd in run_dirs:
+        model_path = os.path.join(rd, "highmodel.npz")
+        grid_path = os.path.join(rd, "coarsegrid.vtk")
+        if not os.path.exists(model_path):
+            print(f"{rd}: no highmodel.npz, skipping")
+            continue
+        print(f"evaluating {rd}")
+        meta, params = load_model(model_path)
+        mdef = meta["parameters"]
+        mcfg = CPPNConfig(
+            num_early_layers=mdef["num_early_layers"],
+            num_late_layers=mdef["num_late_layers"],
+            num_filters=mdef["num_filters"],
+            pos_enc=mdef["pos_enc"],
+            pos_enc_basis=mdef["pos_enc_basis"],
+            act_func="relu",  # visualization.py:180 forces relu
+            input_scale=1.0 / cfg.outside,
+        )
+        model = CPPN(mcfg)
+        aabb = np.array([-cfg.outside] * 3 + [cfg.outside] * 3, np.float32)
+        grid = load_grid_vtk(grid_path, aabb)
+
+        import jax.numpy as jnp
+
+        gt = gt_from_volume(volume, cfg)
+        run_sweep(
+            model, params, grid, cfg, gt, rd,
+            perceptual=perceptual,
+            gt_volume_sampler=lambda pts: trilinear(volume, pts),
+        )
+        print(f"  wrote df-metrics.csv + exports under {rd}")
+
+
+if __name__ == "__main__":
+    main()

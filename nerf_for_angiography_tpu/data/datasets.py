@@ -50,7 +50,12 @@ class DatagenConfig:
     frangi_alpha: float = 0.5  # cttoray.py:50-52 (binary -> 12)
     frangi_beta: float = 0.5
     stratified_depths: bool = True
-    mode: str = "ct"  # 'ct' | 'sdf'
+    mode: str = "ct"  # 'ct' | 'sdf' (DRR compositing, helpers.py:208-213)
+    # sdftoray.py differences (SURVEY.md §2.7):
+    angle_mode: str = "ct"  # 'ct': centered grid (cttoray.py:88-105);
+    # 'sdf': arange(0, limited+1) grid (sdftoray.py:52-54)
+    per_image_normalize: bool = False  # sdftoray.py:125-127
+    resize_to: tuple[int, int] | None = None  # (H, W) post-resize (sdftoray.py:132-133)
 
     @property
     def src_pt(self) -> np.ndarray:
@@ -95,6 +100,17 @@ def angle_grid(
     return np.append(angles, [list(custom_angle)], axis=0)
 
 
+def sdf_angle_grid(
+    limited_size: float, number_angles: float, custom_angle=(112.5, 112.5)
+) -> np.ndarray:
+    """The SDF/LCA sweep: arange(0, limited+1, step) x same + one custom
+    test angle (sdftoray.py:47-57)."""
+    step = limited_size / number_angles
+    th = np.arange(0.0, limited_size + 1, step)
+    angles = np.array([list(v) for v in itertools.product(th, th)])
+    return np.append(angles, [list(custom_angle)], axis=0)
+
+
 class GeneratedDataset(NamedTuple):
     """Everything L1 produces, device/host resident, pre-CSV."""
 
@@ -112,13 +128,23 @@ def generate_dataset(
 ) -> GeneratedDataset:
     """Run the full datagen sweep on device. Ref flow: cttoray.py:189-267."""
     key = jax.random.PRNGKey(0) if key is None else key
-    angles = angle_grid(
-        config.limited_size,
-        config.number_angles,
-        config.center_point,
-        config.custom_angle,
-    )
+    if config.angle_mode == "sdf":
+        angles = sdf_angle_grid(
+            config.limited_size, config.number_angles, config.custom_angle
+        )
+    else:
+        angles = angle_grid(
+            config.limited_size,
+            config.number_angles,
+            config.center_point,
+            config.custom_angle,
+        )
     H, W = config.img_height, config.img_width
+    if config.resize_to is not None and tuple(config.resize_to) != (H, W):
+        # the reference's resize is only shape-consistent at identity scale
+        # (sdftoray.py:40-45: new dims == original dims at grid_scaling 1/8);
+        # rays are emitted on the original pixel grid.
+        raise ValueError("resize_to must equal (img_height, img_width)")
     depth_base = linspace_depths(
         config.near_thresh, config.far_thresh, config.depth_samples_per_ray
     )
@@ -137,6 +163,10 @@ def generate_dataset(
         )
         img = render_drr(volume, origins, directions, depth_values, config.mode)
         img_np = np.asarray(img)
+        if config.per_image_normalize:  # sdftoray.py:125-127
+            img_np = img_np - img_np.min()
+            if img_np.max() > 0:
+                img_np = img_np / img_np.max()
 
         # weight map (host, cold path) — cttoray.py:210-221
         img_to_transf = img_np.copy()
@@ -149,6 +179,15 @@ def generate_dataset(
             fa = 12.0 if config.binary else config.frangi_alpha
             wmap = get_weighted_img(
                 img_to_transf, fa, config.frangi_beta, config.sampling_strategy
+            )
+
+        if config.resize_to is not None:  # sdftoray.py:132-133
+            nh, nw = config.resize_to
+            img_np = np.asarray(
+                jax.image.resize(jnp.asarray(img_np), (nh, nw), "linear")
+            )
+            wmap = np.asarray(
+                jax.image.resize(jnp.asarray(wmap), (nh, nw), "linear")
             )
 
         imgs.append(img_np)
@@ -244,6 +283,28 @@ def write_rays_csv(ds: GeneratedDataset, path: str) -> None:
         }
     )
     df.to_csv(path, sep=";")
+
+
+def sdf_datagen_config(**kw) -> DatagenConfig:
+    """LCA/SDF datagen preset (sdftoray.py:16-45): focal 4000, source at
+    [0,0,4000], 1000-unit sampling band, 2000 depth samples, 150x162 images,
+    uncentered angle grid, per-image normalization."""
+    base = dict(
+        limited_size=25.0,
+        number_angles=4.0,
+        focal_length=4000.0,
+        src_z_offset=0.0,
+        sample_outside=1000.0,
+        img_width=150,
+        img_height=162,
+        custom_angle=(112.5, 112.5),
+        mode="sdf",
+        angle_mode="sdf",
+        per_image_normalize=True,
+        sampling_strategy="segmentation",  # apply_frangi=False (sdftoray.py:24)
+    )
+    base.update(kw)
+    return DatagenConfig(**base)
 
 
 class LoadedData(NamedTuple):

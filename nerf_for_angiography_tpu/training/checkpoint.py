@@ -90,6 +90,7 @@ def save_grid_vtk(path: str, grid: OccupancyGrid) -> None:
         ),
         name="values",
         cell=True,
+        binary=True,  # 128^3 cells; ASCII is ~100x slower to write
     )
 
 

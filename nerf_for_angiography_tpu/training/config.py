@@ -120,6 +120,9 @@ def parse_train_args(argv=None) -> TrainConfig:
     p.add_argument("--num_hidden_units", help="Number of hidden units for MLP")
     p.add_argument("--data_dir", default="data", help="dataset root directory")
     p.add_argument("--n_iters", default=None, help="override max iterations")
+    p.add_argument("--grid_resolution", default=None, help="occupancy grid resolution")
+    p.add_argument("--depth_samples", default=None, help="samples per ray")
+    p.add_argument("--display_every", default=None, help="eval cadence")
     a = p.parse_args(argv)
 
     kw = {}
@@ -141,6 +144,12 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["num_hidden_units"] = int(a.num_hidden_units)
     if a.n_iters:
         kw["n_iters"] = int(a.n_iters)
+    if a.grid_resolution:
+        kw["grid_resolution"] = int(a.grid_resolution)
+    if a.depth_samples:
+        kw["depth_samples_per_ray"] = int(a.depth_samples)
+    if a.display_every:
+        kw["display_every"] = int(a.display_every)
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 

@@ -105,6 +105,16 @@ def train(
     test = make_test_view(rays, test_view_index, rays_per_view)
     train_rays = drop_test_view(rays, test_view_index, rays_per_view)
 
+    # without-replacement sampling needs batch <= dataset; shrink the batch
+    # for small phantoms (the reference's pandas .sample would throw here)
+    if cfg.img_sample_size > train_rays.num_rays:
+        new_size = int(np.sqrt(train_rays.num_rays))
+        print(
+            f"warning: batch {cfg.img_sample_size} > {train_rays.num_rays} "
+            f"train rays; shrinking sample_size to {new_size}"
+        )
+        cfg = dataclasses.replace(cfg, sample_size=new_size)
+
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_leading_axis
 
