@@ -167,3 +167,50 @@ def test_barf_training_step(sphere_data):
     step = make_train_step(model, cfg, 1400.0, 1600.0)
     state, metrics, *_ = step(state, sphere_data.rays)
     assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
+
+
+def test_classic_hierarchical_training(sphere_data):
+    """Coarse + hierarchical-fine (classic NeRF path) learns the sphere."""
+    from nerf_for_angiography_tpu.training.classic import (
+        create_classic_state,
+        make_classic_train_step,
+    )
+
+    cfg = tiny_cfg(coarse_lr=5e-3, depth_samples_per_ray=48)
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    cstate = create_classic_state(model, state0.params, cfg, jax.random.PRNGKey(1))
+    step = make_classic_train_step(model, cfg, 1400.0, 1600.0, n_fine=16)
+
+    losses = []
+    for _ in range(60):
+        cstate, metrics = step(cstate, sphere_data.rays)
+        losses.append(float(metrics["loss/train-pixel-fine"]))
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(losses[-1])
+
+
+def test_classic_separate_fine_model(sphere_data):
+    from nerf_for_angiography_tpu.models import init_cppn
+    from nerf_for_angiography_tpu.training.classic import (
+        create_classic_state,
+        make_classic_train_step,
+    )
+
+    cfg = tiny_cfg(depth_samples_per_ray=32)
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    fine_model, fine_params = init_cppn(cfg.model_config(), jax.random.PRNGKey(7))
+    fine_params0 = jax.tree.map(np.array, fine_params)  # donated below
+    cstate = create_classic_state(
+        model, state0.params, cfg, jax.random.PRNGKey(1), fine_params=fine_params
+    )
+    step = make_classic_train_step(
+        model, cfg, 1400.0, 1600.0, n_fine=8, fine_model=fine_model
+    )
+    cstate, metrics = step(cstate, sphere_data.rays)
+    assert np.isfinite(float(metrics["loss/train-pixel-fine"]))
+    # fine params actually updated independently
+    d = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        cstate.fine_params, fine_params0,
+    )
+    assert max(jax.tree.leaves(d)) > 0
