@@ -121,7 +121,10 @@ def train(
         train_rays = shard_leading_axis(train_rays, mesh)
 
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
-    train_step = make_train_step(model, cfg, near, far)
+    train_step = make_train_step(
+        model, cfg, near, far,
+        num_images=n_views - 1, rays_per_image=rays_per_view,
+    )
     eval_step = make_eval_step(model, cfg, near, far)
 
     exp_name = datetime.now().astimezone().strftime("%Y-%m-%d-%H%M")
@@ -131,14 +134,25 @@ def train(
         CheckpointManager(os.path.join(log_dir, "ckpt")) if log_dir and checkpoint_every else None
     )
 
+    # resume-on-preemption (no reference counterpart: the reference can only
+    # save, SURVEY.md §5 'Checkpoint / resume')
+    start_iter = 0
+    if ckpt_mgr and ckpt_mgr.latest_step() is not None:
+        restored = ckpt_mgr.restore(state)
+        if restored is not None:
+            state = restored
+            start_iter = int(np.asarray(state.step))
+            if verbose:
+                print(f"resumed from checkpoint at step {start_iter}")
+
     highest_psnr = -np.inf
-    highest_iter = 0
+    highest_iter = start_iter
     last_psnr = float("nan")
     t_start = time.perf_counter()
     rays_done = 0
 
-    n_iter = 0
-    for n_iter in range(cfg.n_iters + 1):
+    n_iter = start_iter
+    for n_iter in range(start_iter, cfg.n_iters + 1):
         state, metrics, pred_pix, target_pix = train_step(state, train_rays)
         rays_done += cfg.img_sample_size
 

@@ -165,9 +165,22 @@ def render_rays(
     return pixels, sigma, keep
 
 
-def make_train_step(model: CPPN, cfg: TrainConfig, near: float, far: float):
-    """Build the jitted train step. Ref loop body: run_nerf_acc.py:263-328."""
+def make_train_step(
+    model: CPPN,
+    cfg: TrainConfig,
+    near: float,
+    far: float,
+    num_images: int | None = None,
+    rays_per_image: int | None = None,
+):
+    """Build the jitted train step. Ref loop body: run_nerf_acc.py:263-328.
+
+    ``sample_mode='image'`` (run_nerf_acc.py:279-280) draws the batch from
+    one random view and needs num_images/rays_per_image.
+    """
     tx = make_optimizer(cfg)
+    if cfg.sample_mode == "image" and not (num_images and rays_per_image):
+        raise ValueError("sample_mode='image' needs num_images and rays_per_image")
 
     def train_step(state: TrainState, rays: RayDataset):
         key, k_sample = jax.random.split(state.key)
@@ -190,11 +203,18 @@ def make_train_step(model: CPPN, cfg: TrainConfig, near: float, far: float):
             cfg.grid_update_every, cfg.grid_ema_decay,
         )
 
-        # weighted ray sampling on device (run_nerf_acc.py:275-277)
-        batch = sample_pixel_rays(
-            k_sample, rays, cfg.img_sample_size,
-            weighted=cfg.sampling_strategy != "random",
-        )
+        # ray sampling on device (run_nerf_acc.py:275-280)
+        if cfg.sample_mode == "image":
+            from ..ops.sampling import sample_image_rays
+
+            batch = sample_image_rays(
+                k_sample, rays, cfg.img_sample_size, num_images, rays_per_image
+            )
+        else:
+            batch = sample_pixel_rays(
+                k_sample, rays, cfg.img_sample_size,
+                weighted=cfg.sampling_strategy != "random",
+            )
 
         def loss_fn(params):
             pixels, _, _ = render_rays(

@@ -214,3 +214,51 @@ def test_classic_separate_fine_model(sphere_data):
         cstate.fine_params, fine_params0,
     )
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_image_mode_sampling_step(sphere_data):
+    n_views = int(np.asarray(sphere_data.rays.image_ids).max()) + 1
+    rpv = sphere_data.rays.num_rays // n_views
+    cfg = tiny_cfg(sample_mode="image", sample_size=8)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(
+        model, cfg, 1400.0, 1600.0, num_images=n_views, rays_per_image=rpv
+    )
+    state, metrics, *_ = step(state, sphere_data.rays)
+    assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
+
+
+def test_checkpoint_resume(tmp_path, sphere_data):
+    """Kill training mid-way; a second train() call resumes from the orbax
+    checkpoint instead of starting over."""
+    log_dir = str(tmp_path / "run")
+    os.makedirs(log_dir)
+    cfg = tiny_cfg(n_iters=40, display_every=20)
+    train(
+        cfg, sphere_data.rays, src_pt_z=1500.0, log_dir=log_dir,
+        verbose=False, checkpoint_every=20,
+    )
+    # second run with more iters resumes at >= 20
+    cfg2 = tiny_cfg(n_iters=60, display_every=20)
+    result = train(
+        cfg2, sphere_data.rays, src_pt_z=1500.0, log_dir=log_dir,
+        verbose=False, checkpoint_every=20,
+    )
+    assert int(np.asarray(result.state.step)) >= 60
+    # resumed (didn't redo all 60 iters): iters_run counts from resume point
+    assert result.iters_run == 60
+
+
+def test_profiling_utils(tmp_path):
+    from nerf_for_angiography_tpu.utils.profiling import StepTimer, debug_nans
+
+    t = StepTimer()
+    t.start()
+    t.stop()
+    assert t.avg_s > 0
+    assert "Time for iteration 5" in t.iteration_line(5)
+    assert t.rays_per_sec(100) > 0
+
+    with debug_nans(True):
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
