@@ -323,7 +323,7 @@ class LoadedData(NamedTuple):
     rays_per_view: int
 
 
-def load_data(proj_csv: str, rays_csv: str) -> LoadedData:
+def load_data(proj_csv: str, rays_csv: str, use_native: bool = True) -> LoadedData:
     """Read the two L1 CSVs back into device-resident arrays.
 
     Reconstruction of the stripped ``load_data`` (run_nerf_acc.py:82):
@@ -331,31 +331,56 @@ def load_data(proj_csv: str, rays_csv: str) -> LoadedData:
     depth_sample, src_pt_z); ray_df columns at :86-117 (image_id,
     ray_origins_*, ray_directions_*, x/y_position, pixel_value,
     distance_pixel_value).
+
+    The per-ray table (the big one — tens of millions of rows for dense
+    sweeps) loads through the native C++ mmap parser when available
+    (nerf_for_angiography_tpu.native), falling back to pandas.
     """
     proj_df = pd.read_csv(proj_csv, sep=";", index_col=0)
-    ray_df = pd.read_csv(rays_csv, sep=";", index_col=0)
 
-    ids = ray_df["image_id"].astype(str)
-    unique_ids = list(dict.fromkeys(ids))  # order-preserving
-    id_to_idx = {v: i for i, v in enumerate(unique_ids)}
-    image_idx = ids.map(id_to_idx).to_numpy(np.int32)
+    native_rows = None
+    if use_native:
+        from ..native import load_rays_csv
 
-    origins = np.stack(
-        [ray_df[f"ray_origins_{c}"].to_numpy(np.float32) for c in "xyz"], -1
-    )
-    directions = np.stack(
-        [ray_df[f"ray_directions_{c}"].to_numpy(np.float32) for c in "xyz"], -1
-    )
-    rays = RayDataset(
-        origins=jnp.asarray(origins),
-        directions=jnp.asarray(directions),
-        pixel_values=jnp.asarray(ray_df["pixel_value"].to_numpy(np.float32)),
-        weights=jnp.asarray(ray_df["distance_pixel_value"].to_numpy(np.float32)),
-        image_ids=jnp.asarray(image_idx),
-        x_positions=jnp.asarray(ray_df["x_position"].to_numpy(np.int32)),
-        y_positions=jnp.asarray(ray_df["y_position"].to_numpy(np.int32)),
-    )
-    num_views = len(unique_ids)
+        native_rows = load_rays_csv(rays_csv)
+
+    if native_rows is not None:
+        ray_df = None
+        rays = RayDataset(
+            origins=jnp.asarray(native_rows["origins"]),
+            directions=jnp.asarray(native_rows["directions"]),
+            pixel_values=jnp.asarray(native_rows["pixel_values"]),
+            weights=jnp.asarray(native_rows["weights"]),
+            image_ids=jnp.asarray(native_rows["image_ids"]),
+            x_positions=jnp.asarray(native_rows["x_positions"]),
+            y_positions=jnp.asarray(native_rows["y_positions"]),
+        )
+        num_views = native_rows["num_views"]
+        n_rays = rays.num_rays
+    else:
+        ray_df = pd.read_csv(rays_csv, sep=";", index_col=0)
+        ids = ray_df["image_id"].astype(str)
+        unique_ids = list(dict.fromkeys(ids))  # order-preserving
+        id_to_idx = {v: i for i, v in enumerate(unique_ids)}
+        image_idx = ids.map(id_to_idx).to_numpy(np.int32)
+
+        origins = np.stack(
+            [ray_df[f"ray_origins_{c}"].to_numpy(np.float32) for c in "xyz"], -1
+        )
+        directions = np.stack(
+            [ray_df[f"ray_directions_{c}"].to_numpy(np.float32) for c in "xyz"], -1
+        )
+        rays = RayDataset(
+            origins=jnp.asarray(origins),
+            directions=jnp.asarray(directions),
+            pixel_values=jnp.asarray(ray_df["pixel_value"].to_numpy(np.float32)),
+            weights=jnp.asarray(ray_df["distance_pixel_value"].to_numpy(np.float32)),
+            image_ids=jnp.asarray(image_idx),
+            x_positions=jnp.asarray(ray_df["x_position"].to_numpy(np.int32)),
+            y_positions=jnp.asarray(ray_df["y_position"].to_numpy(np.int32)),
+        )
+        num_views = len(unique_ids)
+        n_rays = len(ray_df)
     return LoadedData(
         proj_df=proj_df,
         ray_df=ray_df,
@@ -366,5 +391,5 @@ def load_data(proj_csv: str, rays_csv: str) -> LoadedData:
         depth_samples=int(proj_df["depth_sample"].iloc[0]),
         src_pt_z=float(proj_df["src_pt_z"].iloc[0]),
         num_views=num_views,
-        rays_per_view=len(ray_df) // num_views,
+        rays_per_view=n_rays // num_views,
     )
