@@ -51,6 +51,11 @@ class DatagenConfig:
     frangi_beta: float = 0.5
     stratified_depths: bool = True
     mode: str = "ct"  # 'ct' | 'sdf' (DRR compositing, helpers.py:208-213)
+    # camera-optimization data augmentation (cttoray.py:38-43,194-206):
+    # random angular shift in degrees and translation as a fraction of the
+    # max grid dimension, applied to every view except the custom test one
+    max_shift_rotation: float = 0.0
+    max_shift_translation: float = 0.0
     # sdftoray.py differences (SURVEY.md §2.7):
     angle_mode: str = "ct"  # 'ct': centered grid (cttoray.py:88-105);
     # 'sdf': arange(0, limited+1) grid (sdftoray.py:52-54)
@@ -149,7 +154,21 @@ def generate_dataset(
         config.near_thresh, config.far_thresh, config.depth_samples_per_ray
     )
 
-    imgs, wmaps, mats = [], [], []
+    # max grid dimension for translation shifts (cttoray.py:150-151)
+    bounds = np.abs(
+        np.concatenate(
+            [
+                np.asarray(volume.origin),
+                np.asarray(volume.origin)
+                + np.asarray(volume.spacing)
+                * (np.array(volume.values.shape) - 1),
+            ]
+        )
+    )
+    max_grid_dim = float(bounds.max())
+
+    imgs, wmaps, mats, unshifted_mats = [], [], [], []
+    shifts_rot, shifts_tr = [], []
     all_origins, all_dirs = [], []
     for i, (theta, phi) in enumerate(angles):
         if config.stratified_depths:
@@ -157,10 +176,47 @@ def generate_dataset(
             depth_values = stratify_depths(depth_base, sub)
         else:
             depth_values = depth_base
+
+        # random pose shifts, excluded for the custom test view
+        # (cttoray.py:194-206)
+        is_test_view = i == len(angles) - 1
+        if (config.max_shift_rotation > 0 or config.max_shift_translation > 0) and not is_test_view:
+            key, k_rot, k_tr = jax.random.split(key, 3)
+            rot_shift = np.asarray(
+                jax.random.uniform(
+                    k_rot, (3,),
+                    minval=-config.max_shift_rotation,
+                    maxval=config.max_shift_rotation,
+                )
+            )
+            translation = (
+                np.asarray(
+                    jax.random.uniform(
+                        k_tr, (3,),
+                        minval=-config.max_shift_translation,
+                        maxval=config.max_shift_translation,
+                    )
+                )
+                * max_grid_dim
+            )
+        else:
+            rot_shift = np.zeros(3)
+            translation = np.zeros(3)
+        shifts_rot.append(rot_shift)
+        shifts_tr.append(translation)
+
         origins, directions, c2w = get_ray_values(
-            float(theta), float(phi), config.larm, config.src_pt, W, H,
-            config.focal_length,
+            float(theta) + rot_shift[0], float(phi) + rot_shift[1],
+            config.larm + rot_shift[2], config.src_pt, W, H,
+            config.focal_length, tuple(translation),
         )
+        if rot_shift.any() or translation.any():
+            _, _, unshifted_c2w = get_ray_values(
+                float(theta), float(phi), config.larm, config.src_pt, W, H,
+                config.focal_length,
+            )
+        else:
+            unshifted_c2w = c2w
         img = render_drr(volume, origins, directions, depth_values, config.mode)
         img_np = np.asarray(img)
         if config.per_image_normalize:  # sdftoray.py:125-127
@@ -193,6 +249,7 @@ def generate_dataset(
         imgs.append(img_np)
         wmaps.append(np.asarray(wmap))
         mats.append(np.asarray(c2w))
+        unshifted_mats.append(np.asarray(unshifted_c2w))
         all_origins.append(np.asarray(origins).reshape(-1, 3))
         all_dirs.append(np.asarray(directions).reshape(-1, 3))
 
@@ -213,14 +270,14 @@ def generate_dataset(
             "theta": angles[:, 0],
             "phi": angles[:, 1],
             "larm": [config.larm] * V,
-            "theta_shift": [0.0] * V,
-            "phi_shift": [0.0] * V,
-            "larm_shift": [0.0] * V,
-            "translation_x": [0.0] * V,
-            "translation_y": [0.0] * V,
-            "translation_z": [0.0] * V,
+            "theta_shift": [float(r[0]) for r in shifts_rot],
+            "phi_shift": [float(r[1]) for r in shifts_rot],
+            "larm_shift": [float(r[2]) for r in shifts_rot],
+            "translation_x": [float(t[0]) for t in shifts_tr],
+            "translation_y": [float(t[1]) for t in shifts_tr],
+            "translation_z": [float(t[2]) for t in shifts_tr],
             "tform_cam2world": [m.tolist() for m in mats],
-            "unshifted_tform_cam2world": [m.tolist() for m in mats],
+            "unshifted_tform_cam2world": [m.tolist() for m in unshifted_mats],
             "image_data": [img.tolist() for img in images],
             "image_distance_data": [w.tolist() for w in weight_maps],
             "org_img_width": [W] * V,
@@ -283,6 +340,28 @@ def write_rays_csv(ds: GeneratedDataset, path: str) -> None:
         }
     )
     df.to_csv(path, sep=";")
+
+
+def map_column_to_np(df: pd.DataFrame, column_name: str) -> np.ndarray:
+    """Parse a list-valued CSV column (the reference stores images and
+    matrices as stringified python lists; nerf_helpers.py:8-11 /
+    proj_helpers.py:5-7). Works on both our CSVs and reference-produced
+    ones."""
+    from ast import literal_eval
+
+    col = df[column_name].apply(
+        lambda v: literal_eval(v) if isinstance(v, str) else v
+    )
+    return np.array(col.tolist())
+
+
+def proj_images_from_csv(proj_csv: str) -> tuple[np.ndarray, np.ndarray]:
+    """(images, weight_maps) arrays from a cttoproj CSV's image_data /
+    image_distance_data columns."""
+    df = pd.read_csv(proj_csv, sep=";", index_col=0)
+    return map_column_to_np(df, "image_data"), map_column_to_np(
+        df, "image_distance_data"
+    )
 
 
 def sdf_datagen_config(**kw) -> DatagenConfig:

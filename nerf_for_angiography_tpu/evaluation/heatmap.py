@@ -17,6 +17,24 @@ import os
 import numpy as np
 
 
+def get_spherical_coordinates(thetas, phis):
+    """Unit-sphere coordinates for angle grids. Ref: helpers.py:72-93."""
+    coords, angles = [], []
+    for theta in thetas:
+        for phi in phis:
+            tr, pr = np.deg2rad(theta), np.deg2rad(phi)
+            coords.append(
+                [np.sin(tr) * np.cos(pr), np.sin(tr) * np.sin(pr), np.cos(tr)]
+            )
+            angles.append([theta, phi])
+    coords = np.array(coords)
+    angles = np.array(angles)
+    return {
+        "X": coords[:, 0], "Y": coords[:, 1], "Z": coords[:, 2],
+        "theta": angles[:, 0], "phi": angles[:, 1],
+    }
+
+
 def convert_to_polar(x, y):
     """Ref: helpers.py:95-98 (2-decimal rounding is load-bearing: the grid
     matching downstream groups by these rounded values)."""

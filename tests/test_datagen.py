@@ -223,3 +223,55 @@ def test_dataset_rays_reconstruct_images():
     V = ds.images.shape[0]
     recon = np.asarray(ds.rays.pixel_values).reshape(V, 8, 8)
     np.testing.assert_allclose(recon, ds.images, atol=1e-6)
+
+
+def test_random_pose_shifts():
+    """Camera-optimization augmentation (cttoray.py:194-206): shifted poses
+    recorded; the custom test view stays unshifted."""
+    vol = make_sphere_volume(res=24)
+    cfg = DatagenConfig(
+        limited_size=90.0, number_angles=1.0, img_width=8, img_height=8,
+        sample_outside=100.0, stratified_depths=False,
+        max_shift_rotation=3.0, max_shift_translation=0.05,
+    )
+    ds = generate_dataset(vol, cfg, jax.random.PRNGKey(0))
+    shifts = ds.proj[["theta_shift", "phi_shift", "larm_shift"]].to_numpy()
+    assert np.abs(shifts[:-1]).max() > 0
+    assert np.abs(shifts[:-1]).max() <= 3.0
+    np.testing.assert_array_equal(shifts[-1], 0.0)
+    # shifted matrices differ from unshifted ones for train views
+    m = np.array(ds.proj["tform_cam2world"].iloc[0])
+    mu = np.array(ds.proj["unshifted_tform_cam2world"].iloc[0])
+    assert not np.allclose(m, mu)
+
+
+def test_sdf_dataset_pipeline():
+    from nerf_for_angiography_tpu.data.datasets import sdf_datagen_config
+
+    vol = make_sphere_volume(res=24, extent=75.0, radius=30.0, mu=0.02)
+    cfg = sdf_datagen_config(
+        limited_size=20.0, number_angles=2.0, img_width=10, img_height=12,
+        sample_outside=100.0, stratified_depths=False,
+    )
+    ds = generate_dataset(vol, cfg, jax.random.PRNGKey(0))
+    # 3x3 grid + custom angle, uncentered from 0
+    assert ds.images.shape == (10, 12, 10)
+    th = np.unique(ds.angles[:-1, 0])
+    np.testing.assert_allclose(th, [0.0, 10.0, 20.0])
+    np.testing.assert_array_equal(ds.angles[-1], [112.5, 112.5])
+
+
+def test_proj_images_roundtrip_from_csv(tmp_path):
+    from nerf_for_angiography_tpu.data.datasets import proj_images_from_csv
+
+    vol = make_sphere_volume(res=24)
+    cfg = DatagenConfig(
+        limited_size=90.0, number_angles=1.0, img_width=8, img_height=8,
+        sample_outside=100.0, stratified_depths=False,
+    )
+    ds = generate_dataset(vol, cfg)
+    p = str(tmp_path / "proj.csv")
+    write_proj_csv(ds, p)
+    imgs, wmaps = proj_images_from_csv(p)
+    np.testing.assert_allclose(imgs, ds.images, atol=1e-6)
+    np.testing.assert_allclose(wmaps, ds.weight_maps, atol=1e-6)
