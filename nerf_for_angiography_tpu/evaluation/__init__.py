@@ -18,6 +18,7 @@ from .perceptual import PerceptualMetrics, vgg16_features
 from .sweep import (
     EvalConfig,
     export_field_vtk,
+    make_view_renderer,
     gt_from_volume,
     lca_eval_config,
     render_view_pair,
@@ -41,6 +42,7 @@ __all__ = [
     "gt_from_volume",
     "hemisphere_mask",
     "lca_eval_config",
+    "make_view_renderer",
     "mse",
     "normalize_cam_poses",
     "psnr",

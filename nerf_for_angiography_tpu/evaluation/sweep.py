@@ -118,6 +118,51 @@ def gt_from_volume(volume: RegularGrid, cfg: EvalConfig) -> Callable:
     return gt
 
 
+def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
+    """One jitted renderer reused for every sweep view (angles are traced
+    scalars — 1369 views compile ONCE, unlike the reference's per-view
+    chunked host loop, visualization.py:277-397)."""
+    tc = TrainConfig(
+        depth_samples_per_ray=cfg.depth_samples_per_ray,
+        outside=cfg.outside,
+        alpha_thre=1e-4,
+        early_stop_eps=1e-2,
+    )
+
+    def render(params, grid, theta_360, phi_360):
+        o, d, c2w = get_ray_values(
+            theta_360, phi_360, 0.0, cfg.src_pt, cfg.img_width, cfg.img_height,
+            cfg.focal_length,
+        )
+        of = o.reshape(-1, 3)
+        df_ = d.reshape(-1, 3)
+        if cfg.data_name == "ct":
+            pixels, _, _ = render_rays(
+                model, params, grid, of, df_, tc, cfg.near_thresh,
+                cfg.far_thresh,
+            )
+            bpixels, _, _ = render_rays(
+                model, params, grid, of, df_, tc, cfg.near_thresh,
+                cfg.far_thresh, binary_thresh=cfg.binary_thresh,
+            )
+        else:
+            depths = linspace_depths(
+                cfg.near_thresh, cfg.far_thresh, cfg.depth_samples_per_ray
+            )
+            pts = query_points(of, df_, depths)
+            raw = model.apply(params, pts.reshape(-1, 3))
+            sigma = jax.nn.sigmoid(raw[..., -1]).reshape(of.shape[0], -1)
+            dists = jnp.concatenate(
+                [depths[1:] - depths[:-1], jnp.full((1,), 1e10)], 0
+            )
+            pixels = jnp.exp(-jnp.sum(sigma * dists, -1))
+            bsigma = jnp.where(sigma < cfg.binary_thresh, 0.0, sigma)
+            bpixels = jnp.exp(-jnp.sum(bsigma * dists, -1))
+        return pixels, bpixels, c2w
+
+    return jax.jit(render)
+
+
 def render_view_pair(
     model: CPPN,
     params,
@@ -125,7 +170,7 @@ def render_view_pair(
     cfg: EvalConfig,
     theta_360: float,
     phi_360: float,
-    barf_alpha=0.0,
+    renderer=None,
 ):
     """Pred + binary-pred images for one view.
 
@@ -133,43 +178,12 @@ def render_view_pair(
     binary_thresh (the reference's zero_idx, visualization.py:329-355).
     LCA: dense un-pruned render over linspace depths (:356-397).
     """
-    o, d, c2w = get_ray_values(
-        theta_360, phi_360, 0.0, cfg.src_pt, cfg.img_width, cfg.img_height,
-        cfg.focal_length,
-    )
+    if renderer is None:
+        renderer = make_view_renderer(model, grid, cfg)
     H, W = cfg.img_height, cfg.img_width
-    of = o.reshape(-1, 3)
-    df_ = d.reshape(-1, 3)
-
-    tc = TrainConfig(
-        depth_samples_per_ray=cfg.depth_samples_per_ray,
-        outside=cfg.outside,
-        alpha_thre=1e-4,
-        early_stop_eps=1e-2,
+    pixels, bpixels, c2w = renderer(
+        params, grid, jnp.float32(theta_360), jnp.float32(phi_360)
     )
-    if cfg.data_name == "ct":
-        pixels, _, _ = render_rays(
-            model, params, grid, of, df_, tc, cfg.near_thresh, cfg.far_thresh,
-            barf_alpha,
-        )
-        bpixels, _, _ = render_rays(
-            model, params, grid, of, df_, tc, cfg.near_thresh, cfg.far_thresh,
-            barf_alpha, binary_thresh=cfg.binary_thresh,
-        )
-    else:
-        depths = linspace_depths(
-            cfg.near_thresh, cfg.far_thresh, cfg.depth_samples_per_ray
-        )
-        pts = query_points(of, df_, depths)
-        raw = model.apply(params, pts.reshape(-1, 3), barf_alpha=barf_alpha)
-        sigma = jax.nn.sigmoid(raw[..., -1]).reshape(of.shape[0], -1)
-        dists = jnp.concatenate(
-            [depths[1:] - depths[:-1], jnp.full((1,), 1e10)], 0
-        )
-        pixels = jnp.exp(-jnp.sum(sigma * dists, -1))
-        bsigma = jnp.where(sigma < cfg.binary_thresh, 0.0, sigma)
-        bpixels = jnp.exp(-jnp.sum(bsigma * dists, -1))
-
     return (
         np.asarray(pixels).reshape(H, W),
         np.asarray(bpixels).reshape(H, W),
@@ -228,6 +242,7 @@ def run_sweep(
     import matplotlib.pyplot as plt
 
     angles = sweep_angles(cfg)
+    renderer = make_view_renderer(model, grid, cfg)
     rows = []
     for theta, phi in angles:
         theta_360 = theta if theta >= 0 else 360 + theta
@@ -236,7 +251,7 @@ def run_sweep(
 
         target = np.asarray(gt_fn(theta_360, phi_360), np.float32)
         pred, bpred, c2w = render_view_pair(
-            model, params, grid, cfg, theta_360, phi_360
+            model, params, grid, cfg, theta_360, phi_360, renderer=renderer
         )
 
         file_image_id = f"image-{theta}-{phi}-0"

@@ -207,3 +207,25 @@ def test_heatmap_json_structure(tmp_path):
     with open(os.path.join(out, "exp", f"{a0[0]}{a0[1]}.json")) as f:
         per = json.load(f)
     assert set(per.keys()) == {"pred", "org", "diff"}
+
+
+def test_lca_dense_render_path():
+    """The LCA (dense, grid-free) view renderer produces valid images
+    (visualization.py:356-397 semantics)."""
+    from nerf_for_angiography_tpu.evaluation import lca_eval_config, render_view_pair
+    from nerf_for_angiography_tpu.models import CPPN, CPPNConfig, init_cppn
+    from nerf_for_angiography_tpu.ops import create_grid
+
+    cfg = lca_eval_config(
+        img_width=8, img_height=10, depth_samples_per_ray=16,
+        sample_outside=50.0, outside=80.0, field_resolution=5,
+    )
+    model, params = init_cppn(
+        CPPNConfig(input_scale=1.0 / cfg.outside), jax.random.PRNGKey(0)
+    )
+    grid = create_grid(np.array([-80.0] * 3 + [80.0] * 3), 8)
+    pred, bpred, c2w = render_view_pair(model, params, grid, cfg, 30.0, 45.0)
+    assert pred.shape == (10, 8)
+    assert np.all((pred >= 0) & (pred <= 1))
+    # binary render zeroes low densities -> at least as transparent
+    assert np.all(bpred >= pred - 1e-6)
