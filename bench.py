@@ -14,11 +14,29 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _watchdog(seconds: int = 240):
+    """The axon TPU tunnel can wedge (every op blocks forever). Fail loudly
+    instead of hanging the driver."""
+
+    def onalarm(signum, frame):
+        sys.stderr.write(
+            "bench: TPU device did not respond within "
+            f"{seconds}s (axon tunnel wedged?); aborting\n"
+        )
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, onalarm)
+    signal.alarm(seconds)
 
 # 5,625 rays / 60 ms — estimated effective single-GPU rate of the reference
 # training loop (no published number exists; see module docstring).
@@ -26,6 +44,12 @@ BASELINE_RAYS_PER_SEC = 93_750.0
 
 
 def main():
+    _watchdog(240)
+    # health check: trivial op round-trips before committing to the run
+    float(jnp.ones(4).sum())
+    signal.alarm(0)
+    _watchdog(540)
+
     from nerf_for_angiography_tpu.data import (
         DatagenConfig,
         generate_dataset,

@@ -53,8 +53,8 @@ def test_full_cli_pipeline(tmp_path):
     # 2. train for a few iterations (small grid/depth for CPU CI)
     run_cli(
         "train.py",
-        ["--n_iters", "60", "--grid_resolution", "16", "--depth_samples", "48",
-         "--display_every", "30"],
+        ["--n_iters", "30", "--grid_resolution", "8", "--depth_samples", "32",
+         "--display_every", "15"],
         ws,
     )
     runs_root = os.path.join(ws, "cases", "ct", "runs")

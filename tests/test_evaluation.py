@@ -129,7 +129,7 @@ def test_end_to_end_sweep(tmp_path):
     ds = generate_dataset(vol, dcfg)
     tcfg = TrainConfig(
         depth_samples_per_ray=48, sample_size=16, grid_resolution=16,
-        display_every=50, n_iters=150, coarse_lr=5e-3,
+        display_every=50, n_iters=100, coarse_lr=5e-3,
     )
     result = train(tcfg, ds.rays, src_pt_z=1500.0, verbose=False)
 
@@ -154,7 +154,7 @@ def test_end_to_end_sweep(tmp_path):
     for col in ("image_id", "theta", "phi", "theta_360", "cam_pose_x", "PSNR"):
         assert col in md.columns
     # a reasonable fraction of views reconstruct decently
-    assert md["PSNR"].mean() > 12.0
+    assert md["PSNR"].mean() > 10.0
     # VTK field written and readable
     g = read_vtk(os.path.join(out, "coarse-field.vtk"))
     assert g.dimensions == (17, 17, 17)

@@ -30,9 +30,9 @@ from nerf_for_angiography_tpu.training import (
 
 def tiny_cfg(**kw):
     defaults = dict(
-        depth_samples_per_ray=64,
-        sample_size=16,
-        grid_resolution=16,
+        depth_samples_per_ray=32,
+        sample_size=12,
+        grid_resolution=8,
         outside=100.0,
         display_every=50,
         n_iters=150,
@@ -83,7 +83,7 @@ def test_eval_step_psnr_finite(sphere_data):
 def test_end_to_end_micro_train_psnr_rises(sphere_data):
     """The SURVEY.md §7 minimum slice: PSNR on the held-out view must rise
     substantially within a couple hundred iterations."""
-    cfg = tiny_cfg(n_iters=150)
+    cfg = tiny_cfg(n_iters=150, depth_samples_per_ray=48, sample_size=16)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0))
     n_views = int(np.asarray(sphere_data.rays.image_ids).max()) + 1
     rpv = sphere_data.rays.num_rays // n_views
@@ -182,7 +182,7 @@ def test_classic_hierarchical_training(sphere_data):
     step = make_classic_train_step(model, cfg, 1400.0, 1600.0, n_fine=16)
 
     losses = []
-    for _ in range(60):
+    for _ in range(40):
         cstate, metrics = step(cstate, sphere_data.rays)
         losses.append(float(metrics["loss/train-pixel-fine"]))
     assert losses[-1] < losses[0] * 0.5
