@@ -203,6 +203,36 @@ def march_rays(
     return MarchedRays(t_starts=t_starts, t_ends=t_ends, positions=positions, mask=mask)
 
 
+def compact_rays(m: MarchedRays, k: int) -> MarchedRays:
+    """Compact the fixed lattice to the first k active samples per ray.
+
+    This is where nerfacc's real speedup comes from once the occupancy grid
+    converges: most of the (n_rays, n_samples) lattice is empty space and
+    evaluating the MLP there is wasted MXU time. TPU-native version: rank
+    samples by (active, earliest) with a static-k top_k, gather — output
+    shapes stay fixed at (n_rays, k). Rays with more than k active samples
+    lose their farthest ones (equivalent to a harder early-stop horizon);
+    rays with fewer get zero-mask padding (identical render).
+    """
+    s = m.mask.shape[-1]
+    if k >= s:
+        return m
+    order = jax.lax.broadcasted_iota(jnp.int32, m.mask.shape, m.mask.ndim - 1)
+    score = m.mask * (2 * s - order).astype(jnp.float32)  # 0 for inactive
+    _, sel = jax.lax.top_k(score, k)
+    sel = jnp.sort(sel, axis=-1)  # keep along-ray ordering
+
+    def take(a):
+        return jnp.take_along_axis(a, sel, axis=-1)
+
+    return MarchedRays(
+        t_starts=take(m.t_starts),
+        t_ends=take(m.t_ends),
+        positions=jnp.take_along_axis(m.positions, sel[..., None], axis=-2),
+        mask=take(m.mask),
+    )
+
+
 def prune_mask(
     sigma: jnp.ndarray,
     dists: jnp.ndarray,

@@ -50,6 +50,10 @@ class TrainConfig:
     grid_resolution: int = 128
     grid_update_every: int = 16
     grid_ema_decay: float = 0.95
+    # 0 = dense lattice; k > 0 gathers the first k grid-occupied samples
+    # per ray before MLP evaluation (nerfacc-style empty-space skipping
+    # with static shapes; ops/occupancy.py::compact_rays)
+    compact_samples: int = 0
 
     # positional encoding / BARF (run_nerf_acc.py:160-167)
     pos_enc: str = "none"

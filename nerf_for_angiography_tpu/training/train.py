@@ -29,6 +29,7 @@ import optax
 from ..models import CPPN, barf_alpha_schedule, init_cppn
 from ..ops.occupancy import (
     OccupancyGrid,
+    compact_rays,
     create_grid,
     every_n_step,
     march_rays,
@@ -149,9 +150,13 @@ def render_rays(
     acc_render_volume_density (run_nerf_acc.py:287-296) in one fused pass.
     With ``binary_thresh``, densities below it are zeroed — the reference's
     ``zero_idx`` binary render (nerf_helpers_acc.py:50-51,
-    visualization.py:348-352).
+    visualization.py:348-352). ``cfg.compact_samples > 0`` gathers only the
+    first k occupied samples per ray before the MLP (the nerfacc-style
+    skip-empty-space speedup, ops/occupancy.py::compact_rays).
     """
     m = march_rays(grid, origins, directions, cfg.depth_samples_per_ray, near, far)
+    if cfg.compact_samples > 0:
+        m = compact_rays(m, cfg.compact_samples)
     raw = model.apply(
         params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha
     )

@@ -147,3 +147,47 @@ def test_march_is_jittable():
 
     out = run(g, jnp.zeros((4, 3)).at[:, 2].set(1500.0), jnp.zeros((4, 3)).at[:, 2].set(-1.0))
     assert np.isfinite(float(out))
+
+
+def test_compact_rays_equals_dense_render():
+    """Compacted (first-k-active) render == dense render when k covers all
+    active samples."""
+    from nerf_for_angiography_tpu.ops import compact_rays
+
+    g = create_grid(AABB, 32)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    o = jnp.array([[0.0, 0.0, 1500.0], [30.0, 10.0, 1500.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [-0.02, 0.0, -1.0]])
+    m = march_rays(g, o, d, 300, 1400.0, 1600.0)
+    active = int(np.asarray(m.mask).sum(-1).max())
+    k = active + 8
+    mc = compact_rays(m, k)
+    assert mc.positions.shape == (2, k, 3)
+    # all active samples survived
+    assert float(mc.mask.sum()) == float(m.mask.sum())
+
+    dense = render_xray(
+        sphere_sigma(m.positions), (m.t_starts + m.t_ends) / 2, None,
+        mask=m.mask, dists=m.t_ends - m.t_starts,
+    )
+    comp = render_xray(
+        sphere_sigma(mc.positions), (mc.t_starts + mc.t_ends) / 2, None,
+        mask=mc.mask, dists=mc.t_ends - mc.t_starts,
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp.pixels), np.asarray(dense.pixels), rtol=1e-5
+    )
+
+
+def test_compact_rays_truncation_is_early_stop_like():
+    from nerf_for_angiography_tpu.ops import compact_rays
+
+    g = create_grid(AABB, 16)  # fully occupied
+    o = jnp.array([[0.0, 0.0, 1500.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    m = march_rays(g, o, d, 64, 1400.0, 1600.0)
+    mc = compact_rays(m, 16)
+    # keeps the EARLIEST active samples
+    np.testing.assert_allclose(
+        np.asarray(mc.t_starts[0]), np.asarray(m.t_starts[0, :16]), rtol=1e-6
+    )
