@@ -262,3 +262,24 @@ def test_profiling_utils(tmp_path):
     with debug_nans(True):
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
+
+
+def test_train_chunk_matches_single_steps(sphere_data):
+    """A scan of k steps == k individual steps (same seeds)."""
+    from nerf_for_angiography_tpu.training.train import make_train_chunk
+
+    cfg = tiny_cfg()
+    model, s_a = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, s_b = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, 1400.0, 1600.0)
+    chunk = make_train_chunk(model, cfg, 1400.0, 1600.0, steps_per_call=5)
+
+    losses_a = []
+    for _ in range(5):
+        s_a, m, _, _ = step(s_a, sphere_data.rays)
+        losses_a.append(float(m["loss/train-pixel-coarse"]))
+    s_b, ms, pred, tgt = chunk(s_b, sphere_data.rays)
+    losses_b = [float(x) for x in np.asarray(ms["loss/train-pixel-coarse"])]
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-4)
+    assert int(s_b.step) == 5
+    assert pred.shape == (cfg.img_sample_size,)
