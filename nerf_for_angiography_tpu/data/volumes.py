@@ -37,7 +37,21 @@ def _axes_from_grid(grid: VtkGrid) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _scalars_3d(grid: VtkGrid, name: str = "scalars") -> np.ndarray:
     if name not in grid.point_data:
         name = next(iter(grid.point_data))
-    return grid.scalars_3d(name)
+    if grid.kind == "structured_points":
+        return grid.scalars_3d(name)
+    # STRUCTURED_GRID: points may arrive in any order; re-grid scalars onto
+    # the rectilinear lattice via nearest-neighbor lookup — the reference's
+    # KDTree pass (helpers.py:143-148)
+    from scipy.spatial import cKDTree
+
+    pts = np.round(grid.points, 3)
+    xs, ys, zs = (np.unique(pts[:, i]) for i in range(3))
+    scalars = np.asarray(grid.point_data[name], np.float64)
+    tree = cKDTree(pts)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    lattice = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    _, idx = tree.query(lattice)
+    return scalars[idx].reshape(len(xs), len(ys), len(zs))
 
 
 def load_ct_volume(

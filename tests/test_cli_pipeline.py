@@ -131,3 +131,35 @@ def test_volumes_roundtrip(tmp_path):
     svol = load_sdf_volume(ps, scale=0.5)
     assert np.asarray(svol.values).min() >= 0.0
     assert np.asarray(svol.values).max() <= 1.0
+
+
+def test_structured_grid_volume_regridding(tmp_path):
+    """STRUCTURED_GRID volumes with shuffled point order re-grid correctly
+    via the KDTree pass (helpers.py:143-148 parity)."""
+    import jax.numpy as jnp
+
+    from nerf_for_angiography_tpu.data.volumes import load_sdf_volume
+    from nerf_for_angiography_tpu.ops.interpolation import trilinear
+    from nerf_for_angiography_tpu.utils.vtk import write_structured_grid
+
+    rs = np.random.RandomState(0)
+    t = np.linspace(-2, 2, 5, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(t, t, t, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+    vals = rs.rand(125).astype(np.float32) * 4 - 2
+
+    perm = rs.permutation(125)
+    p = str(tmp_path / "shuffled.vtk")
+    write_structured_grid(p, pts[perm], (5, 5, 5), {"scalars": vals[perm]})
+
+    vol = load_sdf_volume(p, scale=1.0, c1=2.0)
+    # sampling at a lattice point must return rev_sigmoid of its original value
+    from nerf_for_angiography_tpu.data.transfer import rev_sigmoid
+
+    i = 62  # center point (0,0,0) pre-shift
+    # volume is shifted by center of mass; sample at shifted location
+    com_shift = np.asarray(vol.origin) - np.array([-2.0, -2.0, -2.0])
+    sample_at = pts[i] + com_shift
+    got = float(trilinear(vol, jnp.asarray(sample_at)))
+    want = float(rev_sigmoid(jnp.float32(vals[i]), c1=2.0))
+    assert got == pytest.approx(want, abs=1e-4)
