@@ -58,8 +58,8 @@ def main():
     from nerf_for_angiography_tpu.training import (
         TrainConfig,
         create_train_state,
-        make_train_step,
     )
+    from nerf_for_angiography_tpu.training.train import make_train_chunk
 
     # reference flagship workload (run_nerf_acc.py:129-183)
     cfg = TrainConfig()  # 75^2 rays, 300 samples, 4x128, 128^3 grid
@@ -75,20 +75,24 @@ def main():
     ds = generate_dataset(vol, dcfg)
 
     model, state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(model, cfg, near=1400.0, far=1600.0)
+    # identical math to single stepping (bit-parity tested), with host
+    # dispatch amortized over a scan of 25 steps per call
+    steps_per_call = 25
+    chunk = make_train_chunk(model, cfg, 1400.0, 1600.0, steps_per_call)
 
     # warmup + compile
-    for _ in range(3):
-        state, metrics, _, _ = step(state, ds.rays)
-    jax.block_until_ready(state.params)
+    for _ in range(2):
+        state, metrics, _, _ = chunk(state, ds.rays)
+    float(jnp.sum(metrics["loss/train-pixel-coarse"]))  # force sync
 
-    iters = 50
+    calls = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics, _, _ = step(state, ds.rays)
-    jax.block_until_ready(state.params)
+    for _ in range(calls):
+        state, metrics, _, _ = chunk(state, ds.rays)
+    float(jnp.sum(metrics["loss/train-pixel-coarse"]))  # force sync
     elapsed = time.perf_counter() - t0
 
+    iters = calls * steps_per_call
     rays_per_sec = cfg.img_sample_size * iters / elapsed
     result = {
         "metric": "train_rays_per_sec_per_chip",
