@@ -229,3 +229,52 @@ def test_lca_dense_render_path():
     assert np.all((pred >= 0) & (pred <= 1))
     # binary render zeroes low densities -> at least as transparent
     assert np.all(bpred >= pred - 1e-6)
+
+
+def test_vgg16_features_match_torch():
+    """Our flax VGG16 == a torch VGG16 with identical weights (validates the
+    conversion path in tools/convert_perceptual_weights.py without network
+    access: HWIO transposition, SAME padding, pooling placement)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from nerf_for_angiography_tpu.evaluation.perceptual import (
+        _VGG16_PLAN,
+        init_vgg16,
+        vgg16_features,
+    )
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+
+    layers = []
+    in_c = 3
+    for (w, b), (out_c, pool) in zip(params, _VGG16_PLAN):
+        if pool:
+            layers.append(tnn.MaxPool2d(2, 2))
+        conv = tnn.Conv2d(in_c, out_c, 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(torch.tensor(np.asarray(w).transpose(3, 2, 0, 1)))
+            conv.bias.copy_(torch.tensor(np.asarray(b)))
+        layers += [conv, tnn.ReLU()]
+        in_c = out_c
+    tmodel = tnn.Sequential(*layers).eval()
+
+    x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    feats = vgg16_features(params, jnp.asarray(x))
+
+    with torch.no_grad():
+        h = torch.tensor(x.transpose(0, 3, 1, 2))
+        tfeats = []
+        conv_idx = 0
+        for layer in tmodel:
+            h = layer(h)
+            if isinstance(layer, tnn.ReLU):
+                if conv_idx in (1, 3, 6, 9, 12):
+                    tfeats.append(h.numpy().transpose(0, 2, 3, 1))
+                conv_idx += 1
+
+    assert len(feats) == len(tfeats) == 5
+    for f_jax, f_torch in zip(feats, tfeats):
+        np.testing.assert_allclose(
+            np.asarray(f_jax), f_torch, atol=5e-4, rtol=1e-3
+        )
