@@ -30,17 +30,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# points per kernel tile; activations per layer are (TILE, F) f32 in VMEM.
-TILE = 2048
+# points per kernel tile; activations per layer are (TILE, F) bf16 in VMEM.
+TILE = 4096
 _IN_PAD = 8  # input features (3 coords) padded to one sublane
 
 
 def _pad_points(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
-    """(P, 3) -> (P_pad, 8) f32, P_pad multiple of TILE."""
+    """(P, 3) -> (P_pad, 8) bf16, P_pad multiple of TILE. bf16 input rows
+    keep the gather/DMA lanes dense and the first matmul on the native MXU
+    path (f32 inputs measured ~35% slower end to end)."""
     p = x.shape[0]
     p_pad = ((p + TILE - 1) // TILE) * TILE
-    out = jnp.zeros((p_pad, _IN_PAD), jnp.float32)
-    return out.at[:p, :3].set(x), p
+    out = jnp.zeros((p_pad, _IN_PAD), jnp.bfloat16)
+    return out.at[:p, :3].set(x.astype(jnp.bfloat16)), p
 
 
 def _prep_params(params: Sequence[tuple[jnp.ndarray, jnp.ndarray]]):
@@ -64,14 +66,12 @@ def _prep_params(params: Sequence[tuple[jnp.ndarray, jnp.ndarray]]):
 def _fwd_kernel(n_hidden, x_ref, *refs):
     out_ref = refs[-1]
     w_in, b_in = refs[0], refs[1]
-    h = jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w_in[:], preferred_element_type=jnp.float32
-    )
-    h = jnp.maximum(h + b_in[:], 0.0)
+    h = jnp.dot(x_ref[:], w_in[:], preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
     for li in range(n_hidden):
         w, b = refs[2 + 2 * li], refs[3 + 2 * li]
-        h = jnp.dot(h.astype(jnp.bfloat16), w[:], preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b[:], 0.0)
+        h = jnp.dot(h, w[:], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
     w_out, b_out = refs[2 + 2 * n_hidden], refs[3 + 2 * n_hidden]
     raw = jnp.sum(h * w_out[:], axis=1, keepdims=True) + b_out[0, 0]
     out_ref[:] = raw
@@ -85,16 +85,16 @@ def _bwd_kernel(n_hidden, x_ref, g_ref, *refs):
     w_in, b_in = param_refs[0], param_refs[1]
     w_out = param_refs[2 + 2 * n_hidden]
 
-    # --- recompute forward, keeping activations in registers/VMEM ---
-    x_bf = x_ref[:].astype(jnp.bfloat16)
+    # --- recompute forward, activations held as bf16 in VMEM ---
+    x_bf = x_ref[:]
     acts = []
     h = jnp.dot(x_bf, w_in[:], preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b_in[:], 0.0)
+    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
     acts.append(h)
     for li in range(n_hidden):
         w, b = param_refs[2 + 2 * li], param_refs[3 + 2 * li]
-        h = jnp.dot(h.astype(jnp.bfloat16), w[:], preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b[:], 0.0)
+        h = jnp.dot(h, w[:], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
         acts.append(h)
 
     g = g_ref[:]  # (TILE, 1) dL/draw
@@ -112,42 +112,45 @@ def _bwd_kernel(n_hidden, x_ref, g_ref, *refs):
 
     # output head: raw = sum(h_L * w_out) + b_out
     h_last = acts[-1]
-    acc(grad_refs[2 + 2 * n_hidden], jnp.sum(h_last * g, axis=0, keepdims=True))
+    acc(
+        grad_refs[2 + 2 * n_hidden],
+        jnp.sum(h_last.astype(jnp.float32) * g, axis=0, keepdims=True),
+    )
     acc(grad_refs[3 + 2 * n_hidden], jnp.sum(g, keepdims=True).reshape(1, 1))
-    dh = g * w_out[:]  # (TILE, F)
+    dh = (g * w_out[:]).astype(jnp.bfloat16)  # (TILE, F)
 
-    # hidden layers, reversed
+    # hidden layers, reversed (dz/dh stay bf16; accumulators f32)
     for li in range(n_hidden - 1, -1, -1):
-        z_mask = (acts[li + 1] > 0.0).astype(jnp.float32)
+        z_mask = (acts[li + 1].astype(jnp.float32) > 0).astype(jnp.bfloat16)
         dz = dh * z_mask
         a_prev = acts[li]
         dw = jax.lax.dot_general(
-            a_prev.astype(jnp.bfloat16),
-            dz.astype(jnp.bfloat16),
+            a_prev, dz,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc(grad_refs[2 + 2 * li], dw)
-        acc(grad_refs[3 + 2 * li], jnp.sum(dz, axis=0, keepdims=True))
+        acc(
+            grad_refs[3 + 2 * li],
+            jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True),
+        )
         w = param_refs[2 + 2 * li]
         dh = jax.lax.dot_general(
-            dz.astype(jnp.bfloat16),
-            w[:],
+            dz, w[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.bfloat16)
 
     # input layer
-    z_mask = (acts[0] > 0.0).astype(jnp.float32)
+    z_mask = (acts[0].astype(jnp.float32) > 0).astype(jnp.bfloat16)
     dz = dh * z_mask
     dw_in = jax.lax.dot_general(
-        x_bf,
-        dz.astype(jnp.bfloat16),
+        x_bf, dz,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc(grad_refs[0], dw_in)
-    acc(grad_refs[1], jnp.sum(dz, axis=0, keepdims=True))
+    acc(grad_refs[1], jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True))
 
 
 def _run_fwd(flat_params, n_hidden, f, x_pad, interpret):
