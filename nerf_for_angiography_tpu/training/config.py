@@ -43,10 +43,16 @@ class TrainConfig:
     # scene bounds (run_nerf_acc.py:66,131-134,196)
     outside: float = 100.0
 
-    # nerfacc-equivalent marching params (run_nerf_acc.py:68-70)
+    # nerfacc-equivalent marching params (run_nerf_acc.py:68-70).
+    # alpha_thre doubles as the occupancy-grid occ_thre (run_nerf_acc.py:285)
     early_stop_eps: float = 1e-2
     alpha_thre: float = 1e-4
     vessel_alpha_thre: float = 5e-2
+    # apply alpha_thre as a hard per-sample mask in the TRAINING loss
+    # (nerfacc-strict). Off by default: we evaluate the sample lattice
+    # densely, so the mask changes pixels by <= alpha_thre while killing
+    # gradient recovery from transparent collapse (see training/train.py)
+    train_alpha_prune: bool = False
     grid_resolution: int = 128
     grid_update_every: int = 16
     grid_ema_decay: float = 0.95

@@ -162,7 +162,20 @@ def render_rays(
     )
     sigma = jax.nn.sigmoid(raw[..., -1]).reshape(m.mask.shape)
     dists = m.t_ends - m.t_starts
-    keep = prune_mask(sigma, dists, m.mask, cfg.alpha_thre, cfg.early_stop_eps)
+    # nerfacc's alpha_thre exists to SKIP compute for negligible samples; we
+    # evaluate the lattice densely anyway, so applying it as a hard mask
+    # only changes the pixel by <= alpha_thre per sample while ZEROING the
+    # gradient. Worse, a transiently all-transparent field (sigmoid < 1.5e-4
+    # everywhere — routine after the initial brighten-everything phase on
+    # mostly-white targets) would never recover: every sample pruned, every
+    # gradient dead. Keep it available (train_alpha_prune) for strict
+    # ablations; default off. early_stop_eps is retained — it only bites on
+    # opaque rays where the leading samples still carry gradient.
+    keep = prune_mask(
+        sigma, dists, m.mask,
+        cfg.alpha_thre if cfg.train_alpha_prune else 0.0,
+        cfg.early_stop_eps,
+    )
     keep = jax.lax.stop_gradient(keep)
     if binary_thresh is not None:
         sigma = jnp.where(sigma < binary_thresh, 0.0, sigma)
