@@ -179,12 +179,19 @@ def march_rays(
     n_samples: int,
     near: float,
     far: float,
+    compact_k: int | None = None,
 ) -> MarchedRays:
     """Uniform-step grid-pruned marching with fixed output shapes.
 
     Matches nerfacc.ray_marching's stepping (render_step_size =
     (far-near)/n_samples, nerf_helpers_acc.py:27-29) with occupancy pruning
     via gather instead of DDA; AABB clipping via slab intersection.
+
+    ``compact_k``: emit only the first k active samples per ray (nerfacc's
+    skip-empty-space). TPU-native zero-gather design: the depth lattice is
+    affine in the sample index, so t/positions for the selected samples are
+    RECOMPUTED from the top-k indices instead of gathered, and the 0/1 mask
+    moves through a bf16-exact one-hot matmul on the MXU.
     """
     step = (far - near) / n_samples
     i = jnp.arange(n_samples, dtype=jnp.float32)
@@ -200,7 +207,38 @@ def march_rays(
     occupied = query_occ(grid, positions)
     mask = (in_box & occupied).astype(jnp.float32)
 
-    return MarchedRays(t_starts=t_starts, t_ends=t_ends, positions=positions, mask=mask)
+    if compact_k is None or compact_k >= n_samples:
+        return MarchedRays(
+            t_starts=t_starts, t_ends=t_ends, positions=positions, mask=mask
+        )
+
+    k = compact_k
+    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    score = mask * (2 * n_samples - order).astype(jnp.float32)
+    _, sel = jax.lax.top_k(score, k)
+    sel = jnp.sort(sel, axis=-1)
+
+    onehot = (
+        sel[..., :, None]
+        == jax.lax.broadcasted_iota(
+            jnp.int32, sel.shape[:-1] + (k, n_samples), sel.ndim
+        )
+    ).astype(jnp.bfloat16)
+    mask_k = jnp.einsum(
+        "rks,rs->rk", onehot, mask.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    sel_f = sel.astype(jnp.float32)
+    t_starts_k = near + sel_f * step
+    t_ends_k = t_starts_k + step
+    t_mid_k = t_starts_k + step / 2.0
+    positions_k = (
+        origins[..., None, :] + directions[..., None, :] * t_mid_k[..., None]
+    )
+    return MarchedRays(
+        t_starts=t_starts_k, t_ends=t_ends_k, positions=positions_k, mask=mask_k
+    )
 
 
 def compact_rays(m: MarchedRays, k: int) -> MarchedRays:
@@ -222,13 +260,27 @@ def compact_rays(m: MarchedRays, k: int) -> MarchedRays:
     _, sel = jax.lax.top_k(score, k)
     sel = jnp.sort(sel, axis=-1)  # keep along-ray ordering
 
+    # TPU note: take_along_axis lowers to a slow per-element gather (~30ms
+    # for this shape on v5e); a one-hot batched matmul rides the MXU instead
+    # (f32 — values like depths at world scale are not bf16-representable)
+    onehot = (
+        sel[..., :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, sel.shape[:-1] + (k, s), sel.ndim)
+    ).astype(jnp.float32)
+
     def take(a):
-        return jnp.take_along_axis(a, sel, axis=-1)
+        return jnp.einsum(
+            "rks,rs->rk", onehot, a, preferred_element_type=jnp.float32
+        )
+
+    positions = jnp.einsum(
+        "rks,rsc->rkc", onehot, m.positions, preferred_element_type=jnp.float32
+    )
 
     return MarchedRays(
         t_starts=take(m.t_starts),
         t_ends=take(m.t_ends),
-        positions=jnp.take_along_axis(m.positions, sel[..., None], axis=-2),
+        positions=positions,
         mask=take(m.mask),
     )
 

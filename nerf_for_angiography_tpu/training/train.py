@@ -154,9 +154,10 @@ def render_rays(
     first k occupied samples per ray before the MLP (the nerfacc-style
     skip-empty-space speedup, ops/occupancy.py::compact_rays).
     """
-    m = march_rays(grid, origins, directions, cfg.depth_samples_per_ray, near, far)
-    if cfg.compact_samples > 0:
-        m = compact_rays(m, cfg.compact_samples)
+    m = march_rays(
+        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
+        compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
+    )
     raw = model.apply(
         params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha
     )

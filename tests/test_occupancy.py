@@ -191,3 +191,23 @@ def test_compact_rays_truncation_is_early_stop_like():
     np.testing.assert_allclose(
         np.asarray(mc.t_starts[0]), np.asarray(m.t_starts[0, :16]), rtol=1e-6
     )
+
+
+def test_march_compact_k_matches_standalone_compaction():
+    """march_rays(compact_k) (zero-gather recompute) == compact_rays on the
+    dense lattice."""
+    from nerf_for_angiography_tpu.ops import compact_rays
+
+    g = create_grid(AABB, 32)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    o = jnp.array([[0.0, 0.0, 1500.0], [30.0, 10.0, 1500.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [-0.02, 0.0, -1.0]])
+    dense = march_rays(g, o, d, 128, 1400.0, 1600.0)
+    k = 48
+    a = compact_rays(dense, k)
+    b = march_rays(g, o, d, 128, 1400.0, 1600.0, compact_k=k)
+    np.testing.assert_allclose(np.asarray(a.t_starts), np.asarray(b.t_starts), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.mask), np.asarray(b.mask), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.positions), np.asarray(b.positions), atol=1e-2
+    )
