@@ -85,6 +85,7 @@ def train(
     verbose: bool = True,
     checkpoint_every: int | None = None,
     mesh: jax.sharding.Mesh | None = None,
+    initial_state=None,
 ) -> TrainResult:
     """Train one reconstruction. ``rays`` holds every view's pixels;
     the test view (default: last) is held out (run_nerf_acc.py:84-86).
@@ -121,11 +122,27 @@ def train(
         train_rays = shard_leading_axis(train_rays, mesh)
 
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if initial_state is not None:  # warm start / state injection
+        state = initial_state
+    dense_cfg = dataclasses.replace(cfg, compact_samples=0)
     train_step = make_train_step(
-        model, cfg, near, far,
+        model, dense_cfg, near, far,
         num_images=n_views - 1, rays_per_image=rays_per_view,
     )
-    eval_step = make_eval_step(model, cfg, near, far)
+    eval_step = make_eval_step(model, dense_cfg, near, far)
+
+    # adaptive empty-space skipping: once the occupancy grid has pruned far
+    # enough that every test ray's active samples fit in compact_samples,
+    # switch to the compacted stepper (~2x measured on v5e at the converged
+    # grid; nerfacc gets its speedup from the same regime). Checked at eval
+    # cadence on the held-out view's marching mask.
+    compact_step = None
+    using_compact = False
+    if cfg.compact_samples > 0:
+        compact_step = make_train_step(
+            model, cfg, near, far,
+            num_images=n_views - 1, rays_per_image=rays_per_view,
+        )
 
     exp_name = datetime.now().astimezone().strftime("%Y-%m-%d-%H%M")
     page_data = build_page_data(cfg, exp_name)
@@ -153,7 +170,8 @@ def train(
 
     n_iter = start_iter
     for n_iter in range(start_iter, cfg.n_iters + 1):
-        state, metrics, pred_pix, target_pix = train_step(state, train_rays)
+        active_step = compact_step if using_compact else train_step
+        state, metrics, pred_pix, target_pix = active_step(state, train_rays)
         rays_done += cfg.img_sample_size
 
         if logger and n_iter % 100 == 0:
@@ -163,6 +181,22 @@ def train(
             logger.train_images(p, t, n_iter)
 
         if n_iter % cfg.display_every == 0:
+            if compact_step is not None and not using_compact:
+                from ..ops.occupancy import march_rays as _march
+
+                probe = _march(
+                    state.grid, test.origins, test.directions,
+                    cfg.depth_samples_per_ray, near, far,
+                )
+                max_active = int(np.asarray(probe.mask.sum(-1).max()))
+                if max_active <= int(0.9 * cfg.compact_samples):
+                    using_compact = True
+                    if verbose:
+                        print(
+                            f"switching to compacted stepper at iter {n_iter} "
+                            f"(max active samples/ray {max_active} <= "
+                            f"{cfg.compact_samples})"
+                        )
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
             vessel_psnr = float(test_metrics["psnr/vessel-test-coarse"])

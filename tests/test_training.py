@@ -283,3 +283,35 @@ def test_train_chunk_matches_single_steps(sphere_data):
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-4)
     assert int(s_b.step) == 5
     assert pred.shape == (cfg.img_sample_size,)
+
+
+def test_auto_compaction_switch(sphere_data, capsys):
+    """The loop switches to the compacted stepper once the grid has pruned
+    (injected here — real pruning takes thousands of iters), and training
+    continues to improve."""
+    from nerf_for_angiography_tpu.ops.occupancy import update_grid
+
+    cfg = tiny_cfg(
+        n_iters=100, display_every=25, compact_samples=24,
+        grid_resolution=16, coarse_lr=5e-3, grid_update_every=100_000,
+    )
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    def sphere_sigma(points, radius=35.0):
+        return jnp.where(jnp.linalg.norm(points, axis=-1) < radius, 0.9, 0.0)
+
+    pruned = update_grid(state.grid, sphere_sigma, occ_thre=1e-4)
+    # step=1 keeps the (step %% n == 0) grid update from refilling the
+    # injected pruned grid with the untrained model's sigma
+    state = state._replace(
+        grid=pruned,
+        vessel_grid=jax.tree.map(lambda x: jnp.array(x, copy=True), pruned),
+        step=jnp.int32(1),
+    )
+    result = train(
+        cfg, sphere_data.rays, src_pt_z=1500.0, verbose=True,
+        initial_state=state,
+    )
+    out = capsys.readouterr().out
+    assert "switching to compacted stepper" in out
+    assert np.isfinite(result.last_psnr)
