@@ -138,7 +138,7 @@ def train(
     # cadence on the held-out view's marching mask.
     compact_step = None
     using_compact = False
-    if cfg.compact_samples > 0:
+    if 0 < cfg.compact_samples < cfg.depth_samples_per_ray:
         compact_step = make_train_step(
             model, cfg, near, far,
             num_images=n_views - 1, rays_per_image=rays_per_view,
