@@ -9,8 +9,6 @@ DRRs have vessel-like geometry for end-to-end training tests.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interpolation import RegularGrid

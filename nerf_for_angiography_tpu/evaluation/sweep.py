@@ -30,7 +30,7 @@ import pandas as pd
 
 from ..geometry import get_ray_values, linspace_depths, query_points
 from ..models import CPPN
-from ..ops.interpolation import RegularGrid, trilinear
+from ..ops.interpolation import RegularGrid
 from ..ops.occupancy import OccupancyGrid
 from ..training.config import TrainConfig
 from ..training.train import render_rays

@@ -18,7 +18,6 @@ from datetime import datetime
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import RayDataset
@@ -117,7 +116,7 @@ def train(
         cfg = dataclasses.replace(cfg, sample_size=new_size)
 
     if mesh is not None:
-        from ..parallel.mesh import replicate, shard_leading_axis
+        from ..parallel.mesh import shard_leading_axis
 
         train_rays = shard_leading_axis(train_rays, mesh)
 

@@ -17,8 +17,6 @@ replicated (the MLP is ~50k params — TP/PP are pointless, SURVEY.md §2).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -29,7 +27,6 @@ import optax
 from ..models import CPPN, barf_alpha_schedule, init_cppn
 from ..ops.occupancy import (
     OccupancyGrid,
-    compact_rays,
     create_grid,
     every_n_step,
     march_rays,
