@@ -278,3 +278,39 @@ def test_vgg16_features_match_torch():
         np.testing.assert_allclose(
             np.asarray(f_jax), f_torch, atol=5e-4, rtol=1e-3
         )
+
+
+def test_reconstruction_api(tmp_path):
+    """Reconstruction.from_run_dir round-trips training artifacts and
+    renders novel views / fields."""
+    from nerf_for_angiography_tpu.data import make_sphere_volume
+    from nerf_for_angiography_tpu.reconstruction import Reconstruction
+
+    vol = make_sphere_volume(res=32)
+    dcfg = DatagenConfig(
+        limited_size=90.0, number_angles=1.0, img_width=12, img_height=12,
+        sample_outside=100.0, stratified_depths=False,
+    )
+    ds = generate_dataset(vol, dcfg)
+    tcfg = TrainConfig(
+        depth_samples_per_ray=32, sample_size=10, grid_resolution=8,
+        display_every=25, n_iters=50,
+    )
+    log_dir = str(tmp_path / "run")
+    os.makedirs(log_dir)
+    train(tcfg, ds.rays, src_pt_z=1500.0, log_dir=log_dir, verbose=False)
+
+    ecfg = EvalConfig(
+        img_width=12, img_height=12, sample_outside=100.0,
+        depth_samples_per_ray=32, outside=100.0,
+    )
+    rec = Reconstruction.from_run_dir(log_dir, eval_config=ecfg)
+    img = rec.render_view(30.0, -45.0)
+    assert img.shape == (12, 12)
+    assert np.all((img >= 0) & (img <= 1.0 + 1e-6))
+    b = rec.render_view(30.0, -45.0, binary=True)
+    assert np.all(b >= img - 1e-5)
+    field = rec.density_field(resolution=9)
+    assert field.shape == (9, 9, 9)
+    d = rec.density(np.zeros((4, 3)))
+    assert d.shape == (4,)
