@@ -236,10 +236,13 @@ def run_sweep(
     proj_dir = os.path.join(store_folder_name, "projections")
     os.makedirs(proj_dir, exist_ok=True)
 
-    import matplotlib
+    # grayscale PNG writer: PIL is ~10x faster than matplotlib imsave on the
+    # single-core host; content-equivalent to imsave(cmap='gray',vmin=0,vmax=1)
+    from PIL import Image
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    def imsave_gray(path, img):
+        arr = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(path)
 
     angles = sweep_angles(cfg)
     renderer = make_view_renderer(model, grid, cfg)
@@ -255,12 +258,8 @@ def run_sweep(
         )
 
         file_image_id = f"image-{theta}-{phi}-0"
-        plt.imsave(
-            f"{proj_dir}/{file_image_id}.png", pred, cmap="gray", vmin=0, vmax=1
-        )
-        plt.imsave(
-            f"{proj_dir}/{file_image_id}-binary.png", bpred, cmap="gray", vmin=0, vmax=1
-        )
+        imsave_gray(f"{proj_dir}/{file_image_id}.png", pred)
+        imsave_gray(f"{proj_dir}/{file_image_id}-binary.png", bpred)
 
         row = {
             "image_id": image_id,
