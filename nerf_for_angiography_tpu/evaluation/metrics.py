@@ -61,9 +61,13 @@ def ssim(
     mu_tt = filt(target * target)
     mu_pt = filt(pred * target)
 
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
-    cov = mu_pt - mu_p * mu_t
+    # f32 cancellation on near-constant windows (large white background in
+    # DRRs) can make E[x^2]-E[x]^2 slightly negative and push SSIM above 1;
+    # clamp to the feasible region (var >= 0, |cov| <= sqrt(var_p*var_t))
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
+    cov_bound = jnp.sqrt(var_p * var_t)
+    cov = jnp.clip(mu_pt - mu_p * mu_t, -cov_bound, cov_bound)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -314,3 +314,14 @@ def test_reconstruction_api(tmp_path):
     assert field.shape == (9, 9, 9)
     d = rec.density(np.zeros((4, 3)))
     assert d.shape == (4,)
+
+
+def test_ssim_bounded_on_constant_regions():
+    """Near-constant (white-background) images must not push SSIM above 1
+    via f32 cancellation."""
+    x = jnp.ones((64, 64))
+    y = jnp.ones((64, 64)).at[30:34, 30:34].set(0.2)
+    s = float(ssim(x, y))
+    assert s <= 1.0 + 1e-6
+    s2 = float(ssim(x * 0.9998, x))
+    assert s2 <= 1.0 + 1e-6
