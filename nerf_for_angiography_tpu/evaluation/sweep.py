@@ -33,7 +33,7 @@ from ..models import CPPN
 from ..ops.interpolation import RegularGrid
 from ..ops.occupancy import OccupancyGrid
 from ..training.config import TrainConfig
-from ..training.train import render_rays
+from ..training.train import render_rays, render_rays_with_binary
 from ..utils.vtk import write_structured_grid
 from .heatmap import experiment_naming, get_2d_heatmap, normalize_cam_poses
 from .metrics import binarize, dice_micro, dot_score, psnr, ssim
@@ -137,11 +137,7 @@ def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
         of = o.reshape(-1, 3)
         df_ = d.reshape(-1, 3)
         if cfg.data_name == "ct":
-            pixels, _, _ = render_rays(
-                model, params, grid, of, df_, tc, cfg.near_thresh,
-                cfg.far_thresh,
-            )
-            bpixels, _, _ = render_rays(
+            pixels, bpixels = render_rays_with_binary(
                 model, params, grid, of, df_, tc, cfg.near_thresh,
                 cfg.far_thresh, binary_thresh=cfg.binary_thresh,
             )

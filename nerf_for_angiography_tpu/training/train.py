@@ -181,6 +181,41 @@ def render_rays(
     return pixels, sigma, keep
 
 
+def render_rays_with_binary(
+    model: CPPN,
+    params,
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: TrainConfig,
+    near: float,
+    far: float,
+    binary_thresh: float,
+    barf_alpha=0.0,
+):
+    """Normal + binary renders from ONE march + MLP evaluation (the two
+    differ only in zeroing sub-threshold densities, visualization.py:343-352
+    — the reference also reuses its predictions tensor there)."""
+    m = march_rays(
+        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
+        compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
+    )
+    raw = model.apply(params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha)
+    sigma = jax.nn.sigmoid(raw[..., -1]).reshape(m.mask.shape)
+    dists = m.t_ends - m.t_starts
+    keep = jax.lax.stop_gradient(
+        prune_mask(
+            sigma, dists, m.mask,
+            cfg.alpha_thre if cfg.train_alpha_prune else 0.0,
+            cfg.early_stop_eps,
+        )
+    )
+    pixels = jnp.exp(-jnp.sum(sigma * keep * dists, axis=-1))
+    bsigma = jnp.where(sigma < binary_thresh, 0.0, sigma)
+    bpixels = jnp.exp(-jnp.sum(bsigma * keep * dists, axis=-1))
+    return pixels, bpixels
+
+
 def _build_train_step(
     model: CPPN,
     cfg: TrainConfig,
