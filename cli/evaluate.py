@@ -26,6 +26,13 @@ def main(argv=None):
     )
     p.add_argument("--perceptual_weights", default=None,
                    help=".npz from tools/convert_perceptual_weights.py")
+    p.add_argument("--number_angles_vis", default=None,
+                   help="sweep density (default 36 -> 37x37 views)")
+    p.add_argument("--img_size", default=None, help="override image size")
+    p.add_argument("--depth_samples", default=None, help="samples per ray")
+    p.add_argument("--field_resolution", default=None,
+                   help="3D field export lattice (default 201)")
+    p.add_argument("--no_videos", action="store_true")
     a = p.parse_args(argv)
     binary = a.binary == "True"
 
@@ -46,7 +53,18 @@ def main(argv=None):
     from nerf_for_angiography_tpu.training import load_grid_vtk, load_model
 
     is_lca = a.data_name.upper() == "LCA"
-    cfg = lca_eval_config(binary=binary) if is_lca else EvalConfig(binary=binary)
+    kw = {"binary": binary}
+    if a.number_angles_vis:
+        kw["number_angles_vis"] = float(a.number_angles_vis)
+    if a.img_size:
+        kw["img_width"] = kw["img_height"] = int(a.img_size)
+    if a.depth_samples:
+        kw["depth_samples_per_ray"] = int(a.depth_samples)
+    if a.field_resolution:
+        kw["field_resolution"] = int(a.field_resolution)
+    if a.no_videos:
+        kw["save_videos"] = False
+    cfg = lca_eval_config(**kw) if is_lca else EvalConfig(**kw)
 
     if a.volume == "phantom:vessel":
         volume = make_vessel_volume()
@@ -92,11 +110,28 @@ def main(argv=None):
         aabb = np.array([-cfg.outside] * 3 + [cfg.outside] * 3, np.float32)
         grid = load_grid_vtk(grid_path, aabb)
 
-        import jax.numpy as jnp
+        # rebuild the experiment metadata the trainer recorded (readme.txt,
+        # the reference's page_data registry) so jsonData uses the same
+        # experiment naming cag-vis expects
+        page_data = None
+        readme = os.path.join(rd, "readme.txt")
+        if os.path.exists(readme):
+            import ast as _ast
+
+            page_data = {}
+            for line in open(readme):
+                if "=" not in line:
+                    continue
+                k, v = line.strip().split("=", 1)
+                try:
+                    page_data[k] = _ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    page_data[k] = v
 
         gt = gt_from_volume(volume, cfg)
         run_sweep(
             model, params, grid, cfg, gt, rd,
+            page_data=page_data,
             perceptual=perceptual,
             gt_volume_sampler=lambda pts: trilinear(volume, pts),
         )

@@ -188,7 +188,10 @@ def experiment_naming(page_data: dict, center_point=(90, 0)) -> tuple[str, str]:
     arch = page_data.get("Model architecture", "4x128")
     gt_nmb = int(np.sqrt(page_data.get("Sparse projections", 25)) - 1)
     gt_limited = int(page_data.get("Limited projections", 180))
-    name = f"{gt_limited}-{gt_nmb}-{list(center_point)}"
+    # integral centerpoints format as ints: the web app's option values are
+    # '[90, 0]' (Options.js centerPoint radio), not '[90.0, 0.0]'
+    cp = [int(c) if float(c).is_integer() else float(c) for c in center_point]
+    name = f"{gt_limited}-{gt_nmb}-{cp}"
 
     if "Limited projections" in categories and "Sparse projections" in categories:
         experiment = "limited-sparse"
