@@ -15,3 +15,28 @@ Layer map (mirrors the reference's L1..L6, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Reconstruction":
+        from .reconstruction import Reconstruction
+
+        return Reconstruction
+    if name == "train":
+        from .training import train
+
+        return train
+    if name == "TrainConfig":
+        from .training import TrainConfig
+
+        return TrainConfig
+    if name == "DatagenConfig":
+        from .data import DatagenConfig
+
+        return DatagenConfig
+    if name == "generate_dataset":
+        from .data import generate_dataset
+
+        return generate_dataset
+    raise AttributeError(name)

@@ -64,38 +64,22 @@ def test_full_cli_pipeline(tmp_path):
     assert os.path.exists(os.path.join(rd, "highmodel.npz"))
     assert os.path.exists(os.path.join(rd, "coarsegrid.vtk"))
 
-    # 3. evaluate — patch eval config down via run_sweep directly is tested
-    # elsewhere; here exercise the CLI on a tiny sweep via env knob
-    # (full 37x37 sweep is too slow for CI), so just verify it starts and
-    # restores the model on one run dir with a coarse sweep.
-    code = (
-        "import sys, os; sys.path.insert(0, %r); import jax;"
-        "jax.config.update('jax_platforms','cpu');"
-        "import numpy as np;"
-        "from nerf_for_angiography_tpu.evaluation import EvalConfig, gt_from_volume, run_sweep;"
-        "from nerf_for_angiography_tpu.models import CPPN, CPPNConfig;"
-        "from nerf_for_angiography_tpu.training import load_model, load_grid_vtk;"
-        "from nerf_for_angiography_tpu.data import make_sphere_volume;"
-        "meta, params = load_model(%r);"
-        "cfg = EvalConfig(limited_size_vis=120, number_angles_vis=2, img_width=16,"
-        " img_height=16, sample_outside=100.0, depth_samples_per_ray=32,"
-        " field_resolution=9, save_videos=False);"
-        "m = CPPN(CPPNConfig(input_scale=1/cfg.outside));"
-        "grid = load_grid_vtk(%r, np.array([-100.]*3+[100.]*3));"
-        "vol = make_sphere_volume(res=32);"
-        "df = run_sweep(m, params, grid, cfg, gt_from_volume(vol, cfg), %r, verbose=False);"
-        "print('SWEEPROWS', len(df))"
-    ) % (REPO, os.path.join(rd, "highmodel.npz"),
-         os.path.join(rd, "coarsegrid.vtk"), rd)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
-    r = subprocess.run([sys.executable, "-c", code], cwd=ws, env=env,
-                       capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    assert "SWEEPROWS" in r.stdout
+    # 3. evaluate through the real CLI surface with the small-sweep knobs
+    run_cli(
+        "evaluate.py",
+        ["--data_name", "ct", "--volume", "phantom:sphere",
+         "--number_angles_vis", "2", "--img_size", "16",
+         "--depth_samples", "32", "--field_resolution", "9", "--no_videos"],
+        ws,
+    )
     assert os.path.exists(os.path.join(rd, "df-metrics.csv"))
     md = pd.read_csv(os.path.join(rd, "df-metrics.csv"), sep=";", index_col=0)
     assert "PSNR" in md.columns
+    # jsonData lands under the experiment naming the web app builds
+    json_root = os.path.join(rd, "jsonData")
+    assert os.path.isdir(json_root)
+    exps = os.listdir(json_root)
+    assert any(e.endswith("-ct") for e in exps), exps
 
     # 4. analyze
     run_cli("analyze.py", ["--cases_root", "cases", "--out", "plot.png"], ws)
