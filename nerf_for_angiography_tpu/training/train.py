@@ -154,6 +154,7 @@ def render_rays(
     m = march_rays(
         grid, origins, directions, cfg.depth_samples_per_ray, near, far,
         compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
+        occ_stride=cfg.occ_stride,
     )
     raw = model.apply(
         params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha

@@ -211,3 +211,19 @@ def test_march_compact_k_matches_standalone_compaction():
     np.testing.assert_allclose(
         np.asarray(a.positions), np.asarray(b.positions), atol=1e-2
     )
+
+
+def test_occ_stride_mask_is_superset():
+    """Stride-2 probing must never drop a sample the exact mask keeps
+    (union of bracketing probes) on a cell-aligned phantom."""
+    g = create_grid(AABB, 64)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (64, 3)) * jnp.array([0.05, 0.05, 0.0]) + jnp.array([0.0, 0.0, -1.0])
+    o = jnp.broadcast_to(jnp.array([0.0, 0.0, 1500.0]), d.shape)
+    exact = march_rays(g, o, d, 300, 1400.0, 1600.0)
+    strided = march_rays(g, o, d, 300, 1400.0, 1600.0, occ_stride=2)
+    # superset: strided mask >= exact mask everywhere
+    assert np.all(np.asarray(strided.mask) >= np.asarray(exact.mask) - 1e-6)
+    # and not wildly larger (cells are ~2.3 samples wide)
+    assert float(strided.mask.sum()) <= float(exact.mask.sum()) * 1.8 + 64
