@@ -1,0 +1,51 @@
+"""The driver-facing entry points must work exactly as the driver calls them.
+
+``dryrun_multichip`` is invoked by the driver in a fresh process with NO
+environment preparation — it must self-configure the virtual CPU mesh
+(round-1 failure: it ran against the pinned axon TPU platform and crashed,
+MULTICHIP_r01.json ok=false).  We reproduce the driver's calling convention
+in a clean subprocess so the in-process conftest CPU forcing can't mask a
+regression.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_fresh_process():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # driver gives us nothing; we must self-set
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(n_devices=8)",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_dryrun_multichip_inprocess():
+    """Also callable under the test harness' pre-forced 8-CPU platform."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_force_cpu_mesh_raises_when_short():
+    import __graft_entry__ as g
+
+    with pytest.raises(RuntimeError, match="virtual CPU devices"):
+        g._force_cpu_mesh(1024)
