@@ -125,28 +125,86 @@ def world_to_index(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((norm * res).astype(jnp.int32), 0, res - 1)
 
 
+def pack_grid_bits(binary: jnp.ndarray) -> jnp.ndarray:
+    """(res, res, res) bool -> (res*res, ceil(res/32)) uint32, z packed into
+    bits (bit b of word w = cell z = 32*w + b)."""
+    res = binary.shape[0]
+    words = max(1, -(-res // 32))
+    pad = words * 32 - res
+    b = binary
+    if pad:
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, pad)))
+    b = b.reshape(res * res, words, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
+
+
 def query_occ(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Occupancy lookup at world points; False outside the AABB.
     Ref: nerfacc query_occ (visualization.py:214).
 
-    TPU note: a scalar triple-index gather from the 128^3 grid is ~3.5x
-    slower on TPU than gathering whole z-rows (lane-aligned, 128 wide) and
-    selecting the lane with a one-hot reduce — random scalar gathers don't
-    vectorize, row gathers do. Measured 22ms -> 6.4ms for 1.7M lookups on
-    v5e (uint8 rows).
+    TPU notes (the profiled top cost of a training step, v5e):
+      * a scalar triple-index gather from the 128^3 grid is ~3.5x slower
+        than gathering whole z-rows and selecting the lane — random scalar
+        gathers don't vectorize, row gathers do (22ms -> 6.4ms / 1.7M pts);
+      * gather time is per-row-count-bound, so the z axis is BIT-PACKED:
+        rows shrink from 128 uint8 lanes to 4 uint32 words, cutting the
+        post-gather one-hot select and the gathered intermediate 32x.
+        Packing itself is a cheap dense pass (~2M bit-ops) fused by XLA.
     """
     res = grid.resolution
     lo, hi = grid.aabb[:3], grid.aabb[3:]
     inside = jnp.all((points >= lo) & (points <= hi), axis=-1)
     idx = world_to_index(grid, points)
-    rows2d = grid.binary.reshape(res * res, res).astype(jnp.uint8)
-    rows = jnp.take(rows2d, idx[..., 0] * res + idx[..., 1], axis=0)  # (..., res)
-    onehot = (
+    packed = pack_grid_bits(grid.binary)  # (res*res, words)
+    words = packed.shape[1]
+    rows = jnp.take(packed, idx[..., 0] * res + idx[..., 1], axis=0)  # (..., words)
+    iz = idx[..., 2]
+    word_sel = (
         jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-        == idx[..., 2:3]
+        == (iz[..., None] >> 5)
     )
-    occ = jnp.sum(rows * onehot, axis=-1) > 0
+    word = jnp.sum(jnp.where(word_sel, rows, jnp.uint32(0)), axis=-1)
+    occ = ((word >> (iz.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(1)) > 0
     return occ & inside
+
+
+def safe_occ_stride(
+    stride: int,
+    n_samples: int,
+    near: float,
+    far: float,
+    aabb_extent: float,
+    resolution: int,
+) -> int:
+    """Largest stride <= ``stride`` for which strided probing keeps the
+    superset-mask guarantee, i.e. probe spacing stride*(far-near)/n_samples
+    stays below the grid cell size aabb_extent/resolution.
+
+    Strided probing (march_rays ``occ_stride``) marks a sample active if
+    either bracketing probe hits an occupied cell; that is a superset of the
+    exact mask only while a ray cannot cross a whole cell between probes.
+    Callers that would silently break the guarantee (lower sample counts,
+    wider near/far, finer grids — ADVICE.md r1 #2) get the largest still-safe
+    stride (>= 1) and a warning instead of corrupted renders.
+    """
+    if stride <= 1:
+        return max(1, stride)
+    step = (far - near) / n_samples
+    cell = aabb_extent / resolution
+    safe = stride
+    while safe > 1 and safe * step >= cell:
+        safe -= 1
+    if safe != stride:
+        import warnings
+
+        warnings.warn(
+            f"occ_stride={stride} breaks the superset-mask guarantee "
+            f"(probe spacing {stride * step:.4g} >= cell size {cell:.4g}); "
+            f"falling back to occ_stride={safe}",
+            stacklevel=2,
+        )
+    return safe
 
 
 def ray_aabb_intersect(

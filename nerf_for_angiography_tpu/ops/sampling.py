@@ -100,3 +100,26 @@ def sample_image_rays(
         directions=data.directions[idx],
         pixel_values=data.pixel_values[idx],
     )
+
+
+def whole_image_rays(
+    data: RayDataset,
+    image_index: jnp.ndarray | int,
+    rays_per_image: int,
+) -> RayBatch:
+    """All rays of one view, in stored (pixel) order.
+
+    Ref: nerf_helpers.py:152-166, ``random=False`` branch — the ordered
+    whole-image batch used for full-view rendering/eval. jit-safe for a
+    traced ``image_index`` (dynamic_slice on the view-major layout).
+    """
+    start = jnp.asarray(image_index, jnp.int32) * rays_per_image
+
+    def take(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, rays_per_image, axis=0)
+
+    return RayBatch(
+        origins=take(data.origins),
+        directions=take(data.directions),
+        pixel_values=take(data.pixel_values),
+    )

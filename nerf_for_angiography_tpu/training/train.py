@@ -31,6 +31,7 @@ from ..ops.occupancy import (
     every_n_step,
     march_rays,
     prune_mask,
+    safe_occ_stride,
 )
 from ..ops.rendering import psnr_from_mse
 from ..ops.sampling import RayDataset, sample_pixel_rays
@@ -154,7 +155,10 @@ def render_rays(
     m = march_rays(
         grid, origins, directions, cfg.depth_samples_per_ray, near, far,
         compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
-        occ_stride=cfg.occ_stride,
+        occ_stride=safe_occ_stride(
+            cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
+            2 * cfg.outside, cfg.grid_resolution,
+        ),
     )
     raw = model.apply(
         params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha
@@ -200,6 +204,10 @@ def render_rays_with_binary(
     m = march_rays(
         grid, origins, directions, cfg.depth_samples_per_ray, near, far,
         compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
+        occ_stride=safe_occ_stride(
+            cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
+            2 * cfg.outside, cfg.grid_resolution,
+        ),
     )
     raw = model.apply(params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha)
     sigma = jax.nn.sigmoid(raw[..., -1]).reshape(m.mask.shape)

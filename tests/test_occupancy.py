@@ -227,3 +227,81 @@ def test_occ_stride_mask_is_superset():
     assert np.all(np.asarray(strided.mask) >= np.asarray(exact.mask) - 1e-6)
     # and not wildly larger (cells are ~2.3 samples wide)
     assert float(strided.mask.sum()) <= float(exact.mask.sum()) * 1.8 + 64
+
+
+def test_query_occ_matches_direct_indexing():
+    """Bit-packed row-gather lookup == direct boolean indexing, across
+    resolutions (incl. res<32 single-word and res=40 ragged-word cases)."""
+    from nerf_for_angiography_tpu.ops.occupancy import world_to_index
+
+    key = jax.random.PRNGKey(3)
+    for res in (8, 16, 40, 64):
+        g = create_grid(AABB, res)
+        bits = jax.random.bernoulli(jax.random.fold_in(key, res), 0.3,
+                                    (res, res, res))
+        g = g._replace(binary=bits)
+        pts = jax.random.uniform(
+            jax.random.fold_in(key, res + 1), (2000, 3), minval=-120.0,
+            maxval=120.0,
+        )
+        got = np.asarray(query_occ(g, pts))
+        idx = np.asarray(world_to_index(g, pts))
+        inside = np.all((np.asarray(pts) >= -100.0) & (np.asarray(pts) <= 100.0), -1)
+        want = np.asarray(bits)[idx[:, 0], idx[:, 1], idx[:, 2]] & inside
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pack_grid_bits_roundtrip():
+    from nerf_for_angiography_tpu.ops.occupancy import pack_grid_bits
+
+    key = jax.random.PRNGKey(5)
+    for res in (8, 32, 40):
+        bits = jax.random.bernoulli(key, 0.5, (res, res, res))
+        packed = np.asarray(pack_grid_bits(bits))
+        words = max(1, -(-res // 32))
+        assert packed.shape == (res * res, words)
+        flat = np.asarray(bits).reshape(res * res, res)
+        for w in range(words):
+            for b in range(min(32, res - 32 * w)):
+                got = (packed[:, w] >> b) & 1
+                np.testing.assert_array_equal(got, flat[:, 32 * w + b])
+
+
+def test_safe_occ_stride_guard():
+    from nerf_for_angiography_tpu.ops.occupancy import safe_occ_stride
+
+    # flagship: spacing 2*(200/300)=1.33 < cell 200/128=1.5625 -> keeps 2
+    assert safe_occ_stride(2, 300, 1400.0, 1600.0, 200.0, 128) == 2
+    # stride 3 -> spacing 2.0 >= 1.5625 -> falls back to 2
+    with pytest.warns(UserWarning, match="superset"):
+        assert safe_occ_stride(3, 300, 1400.0, 1600.0, 200.0, 128) == 2
+    # fewer samples break stride 2: spacing 2*(200/100)=4 >= 1.5625 -> 1
+    with pytest.warns(UserWarning, match="superset"):
+        assert safe_occ_stride(2, 100, 1400.0, 1600.0, 200.0, 128) == 1
+    # stride 1 is always allowed, silently
+    assert safe_occ_stride(1, 10, 0.0, 1000.0, 200.0, 128) == 1
+
+
+def test_occ_stride_superset_property_across_shapes():
+    """The guarded stride keeps the superset property for many
+    (resolution, n_samples, stride) combinations (VERDICT r1 weak #7)."""
+    from nerf_for_angiography_tpu.ops.occupancy import safe_occ_stride
+
+    key = jax.random.PRNGKey(11)
+    d = jax.random.normal(key, (32, 3)) * jnp.array([0.08, 0.08, 0.0]) + jnp.array(
+        [0.0, 0.0, -1.0]
+    )
+    o = jnp.broadcast_to(jnp.array([0.0, 0.0, 1500.0]), d.shape)
+    for res in (32, 64, 128):
+        g = create_grid(AABB, res)
+        g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+        for n_samples in (100, 200, 300):
+            for want_stride in (2, 3, 4):
+                s = safe_occ_stride(want_stride, n_samples, 1400.0, 1600.0,
+                                    200.0, res)
+                exact = march_rays(g, o, d, n_samples, 1400.0, 1600.0)
+                strided = march_rays(g, o, d, n_samples, 1400.0, 1600.0,
+                                     occ_stride=s)
+                assert np.all(
+                    np.asarray(strided.mask) >= np.asarray(exact.mask) - 1e-6
+                ), (res, n_samples, want_stride, s)

@@ -77,3 +77,38 @@ def test_sample_image_rays_single_view(rng):
         idx_all.append(matches[0])
     blocks = np.unique(np.array(idx_all) // 250)
     assert len(blocks) == 1
+
+
+def test_whole_image_rays_ordered():
+    """Ordered whole-view batch (nerf_helpers.py:152-166 non-random branch):
+    returns every ray of the view in stored pixel order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_for_angiography_tpu.ops import RayDataset, whole_image_rays
+
+    n_img, per = 3, 16
+    n = n_img * per
+    key = jax.random.PRNGKey(0)
+    ds = RayDataset(
+        origins=jax.random.normal(key, (n, 3)),
+        directions=jax.random.normal(key, (n, 3)),
+        pixel_values=jnp.arange(n, dtype=jnp.float32),
+        weights=jnp.ones((n,)),
+        image_ids=jnp.repeat(jnp.arange(n_img), per),
+        x_positions=jnp.tile(jnp.arange(per), n_img),
+        y_positions=jnp.zeros((n,), jnp.int32),
+    )
+    batch = whole_image_rays(ds, 1, per)
+    np.testing.assert_array_equal(
+        np.asarray(batch.pixel_values), np.arange(per, 2 * per, dtype=np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch.origins), np.asarray(ds.origins[per : 2 * per])
+    )
+    # jit-safe with traced index
+    jitted = jax.jit(lambda i: whole_image_rays(ds, i, per))
+    np.testing.assert_array_equal(
+        np.asarray(jitted(2).pixel_values), np.arange(2 * per, 3 * per, dtype=np.float32)
+    )
