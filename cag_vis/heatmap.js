@@ -147,6 +147,49 @@ export function drawHeatmap(svg, json, scale, { onHover, onLeave } = {}) {
     label.textContent = Math.abs(a[0]).toFixed(0);
     svg.appendChild(label);
   });
+
+  drawSectorLabels(svg, rings, cx, cy, maxR);
+}
+
+// sector (phi) labels on a circular text path just outside the outer ring —
+// the CircularSectorLabels.js:27-90 role. One label per outer-ring segment,
+// anchored at the segment's mid-angle via textPath startOffset.
+export function drawSectorLabels(svg, rings, cx, cy, maxR) {
+  const ns = "http://www.w3.org/2000/svg";
+  const outer = rings[rings.length - 1];
+  if (!outer || outer.cells.length < 2) return;
+  const r = maxR + 12;
+  let defs = svg.querySelector("defs");
+  if (!defs) {
+    defs = document.createElementNS(ns, "defs");
+    svg.appendChild(defs);
+  }
+  // full-circle path starting at angle 0 (3 o'clock), sweeping clockwise in
+  // screen space (same direction arcPath draws segments)
+  const pathId = `sector-label-circle-${Math.round(r)}`;
+  const circ = document.createElementNS(ns, "path");
+  circ.setAttribute("id", pathId);
+  circ.setAttribute(
+    "d",
+    `M${cx + r},${cy} A${r},${r} 0 1 1 ${cx - r},${cy} ` +
+    `A${r},${r} 0 1 1 ${cx + r},${cy}`
+  );
+  circ.setAttribute("fill", "none");
+  defs.appendChild(circ);
+  const circumference = 2 * Math.PI * r;
+  for (const cell of outer.cells) {
+    const frac = ((cell.theta % (2 * Math.PI)) + 2 * Math.PI) % (2 * Math.PI) / (2 * Math.PI);
+    const text = document.createElementNS(ns, "text");
+    text.setAttribute("font-size", "10");
+    text.setAttribute("fill", "#666");
+    const tp = document.createElementNS(ns, "textPath");
+    tp.setAttribute("href", `#${pathId}`);
+    tp.setAttribute("startOffset", `${frac * circumference}`);
+    tp.setAttribute("text-anchor", "middle");
+    tp.textContent = Number(cell.angles[1]).toFixed(0);
+    text.appendChild(tp);
+    svg.appendChild(text);
+  }
 }
 
 function attachEvents(el, cell, value, onHover, onLeave) {

@@ -26,6 +26,15 @@ def main(argv=None):
     )
     p.add_argument("--perceptual_weights", default=None,
                    help=".npz from tools/convert_perceptual_weights.py")
+    p.add_argument(
+        "--uncalibrated_perceptual", action="store_true", default=True,
+        help="compute LPIPS/DISTS with the fixed-random VGG backend when no "
+             "pretrained weights are given (marked calibrated=false in "
+             "df-metrics.csv and the heatmap JSONs); the default — disable "
+             "with --no_perceptual",
+    )
+    p.add_argument("--no_perceptual", action="store_true",
+                   help="skip LPIPS/DISTS entirely")
     p.add_argument("--number_angles_vis", default=None,
                    help="sweep density (default 36 -> 37x37 views)")
     p.add_argument("--img_size", default=None, help="override image size")
@@ -75,10 +84,18 @@ def main(argv=None):
     else:
         volume = load_ct_volume(a.volume, binary=binary)
 
+    # perceptual backend: pretrained weights if provided, else the
+    # fixed-random uncalibrated VGG (reference defaults evaluate and heatmap
+    # DISTS/LPIPS, visualization.py:38-39; without egress the calibrated
+    # weights can't exist here, so uncalibrated values — flagged
+    # calibrated=false — keep the metric/export surface intact)
     perceptual = None
     if a.perceptual_weights:
         perceptual = PerceptualMetrics.from_npz(a.perceptual_weights)
-        cfg = EvalConfig(**{**cfg.__dict__, "metrics": cfg.metrics + ("LPIPS", "DISTS")})
+    elif a.uncalibrated_perceptual and not a.no_perceptual:
+        perceptual = PerceptualMetrics.uncalibrated()
+        print("LPIPS/DISTS: uncalibrated random-VGG backend "
+              "(no --perceptual_weights); values flagged calibrated=false")
 
     if a.run_dir:
         run_dirs = [a.run_dir]

@@ -84,6 +84,7 @@ def get_2d_heatmap(
     center_point=(0, 0),
     save_json: bool = True,
     save_png: bool = True,
+    json_extra: dict | None = None,
 ) -> dict | None:
     """One hemisphere heatmap: PNG for humans + JSONs for cag-vis.
 
@@ -156,6 +157,8 @@ def get_2d_heatmap(
         "angles": ang.reshape(-1, 2)[order].tolist(),
         "vals": vals.reshape(-1)[order].tolist(),
     }
+    if json_extra:
+        json_obj.update(json_extra)
 
     os.makedirs(experiment_folder, exist_ok=True)
     with open(

@@ -114,7 +114,9 @@ class PerceptualMetrics:
         key = jax.random.PRNGKey(1234) if key is None else key
         vgg = init_vgg16(key)
         lp = [jnp.full((c,), 1.0 / c, jnp.float32) for c in _STAGE_CHANNELS]
-        n_total = sum(_STAGE_CHANNELS) + 3
+        # DISTS convention: alpha and beta are JOINTLY normalized
+        # (sum(alpha) + sum(beta) = 1) so dists(x, x) == 0
+        n_total = 2 * (sum(_STAGE_CHANNELS) + 3)
         al = [jnp.full((c,), 1.0 / n_total, jnp.float32) for c in (3,) + _STAGE_CHANNELS]
         be = [jnp.full((c,), 1.0 / n_total, jnp.float32) for c in (3,) + _STAGE_CHANNELS]
         return cls(vgg, lp, al, be, calibrated=False)
@@ -132,13 +134,25 @@ class PerceptualMetrics:
             al = [jnp.asarray(z[f"dists_alpha{i}"]) for i in range(6)]
             be = [jnp.asarray(z[f"dists_beta{i}"]) for i in range(6)]
         else:
-            n_total = sum(_STAGE_CHANNELS) + 3
+            n_total = 2 * (sum(_STAGE_CHANNELS) + 3)
             al = [jnp.full((c,), 1.0 / n_total) for c in (3,) + _STAGE_CHANNELS]
             be = [jnp.full((c,), 1.0 / n_total) for c in (3,) + _STAGE_CHANNELS]
         return cls(vgg, lp, al, be, calibrated=True)
 
     def lpips(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        """LPIPS distance of two images in [0,1] (HW or HWC)."""
+        """LPIPS distance of two images in [0,1] (HW or HWC). Jitted and
+        cached per image shape (the sweep calls this 1369 times)."""
+        if not hasattr(self, "_lpips_jit"):
+            self._lpips_jit = jax.jit(self._lpips_impl)
+        return self._lpips_jit(pred, target)
+
+    def dists(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """DISTS distance (1 - weighted structure/texture similarity)."""
+        if not hasattr(self, "_dists_jit"):
+            self._dists_jit = jax.jit(self._dists_impl)
+        return self._dists_jit(pred, target)
+
+    def _lpips_impl(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         fp = vgg16_features(self.vgg_params, _prep_image(pred))
         ft = vgg16_features(self.vgg_params, _prep_image(target))
         total = 0.0
@@ -147,8 +161,7 @@ class PerceptualMetrics:
             total = total + jnp.mean(jnp.sum(d * w, axis=-1))
         return total
 
-    def dists(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        """DISTS distance (1 - weighted structure/texture similarity)."""
+    def _dists_impl(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         xp = _prep_image(pred)
         xt = _prep_image(target)
         fp = [xp] + vgg16_features(self.vgg_params, xp)

@@ -56,13 +56,23 @@ class EvalConfig:
     sample_outside: float = 75.0
     depth_samples_per_ray: int = 200
     chunk_views: int = 4
-    metrics: tuple = ("PSNR", "SSIM", "DICE 2D", "DOT 2D")
+    # superset of the reference's default list ['DISTS','LPIPS','PSNR']
+    # (visualization.py:38): LPIPS/DISTS are computed whenever a perceptual
+    # backend is passed to run_sweep; DICE 3D/DOT 3D whenever a GT volume
+    # sampler is passed (visualization.py:480-505).
+    metrics: tuple = (
+        "PSNR", "SSIM", "DICE 2D", "DOT 2D", "DICE 3D", "DOT 3D",
+        "LPIPS", "DISTS",
+    )
     binary_thresh: float = 0.05  # visualization.py:172
     field_resolution: int = 201  # visualization.py:102 (200+1)
     save_vtk: bool = True
     save_videos: bool = True
     save_heatmap: bool = True
-    heatmap_metrics: tuple = ("PSNR",)
+    # None = export heatmap JSONs for EVERY computed per-view metric, so
+    # every metric radio in cag-vis resolves (VERDICT r1 #4); a tuple
+    # restricts the set.
+    heatmap_metrics: tuple | None = None
     center_point: tuple = (90.0, 0.0)
 
     @property
@@ -127,6 +137,9 @@ def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
         outside=cfg.outside,
         alpha_thre=1e-4,
         early_stop_eps=1e-2,
+        # the safe_occ_stride guard needs the REAL loaded grid resolution,
+        # not the training default
+        grid_resolution=int(grid_template.resolution),
     )
 
     def render(params, grid, theta_360, phi_360):
@@ -319,6 +332,10 @@ def run_sweep(
     metric_cols = [c for c in df.columns if c in (
         "PSNR", "SSIM", "LPIPS", "DISTS", "DICE 2D", "DOT 2D", "DICE 3D", "DOT 3D",
     )]
+    # calibration marker for the perceptual columns (uncalibrated = the
+    # random-VGG backend; values are self-consistent but not piq-comparable)
+    if perceptual is not None and ("LPIPS" in df.columns or "DISTS" in df.columns):
+        df["perceptual_calibrated"] = bool(perceptual.calibrated)
     df[
         [c for c in df.columns if c not in ("pred_img", "binary_pred_img", "org_img")]
     ].to_csv(os.path.join(store_folder_name, "df-metrics.csv"), sep=";")
@@ -345,8 +362,19 @@ def run_sweep(
             page_data or {}, cfg.center_point
         )
         exp_folder = os.path.join(store_folder_name, "jsonData", experiment, exp_name)
+        # per-metric color ranges (visualization.py:643-649; everything else
+        # defaults to [0,1] incl. LPIPS/DISTS)
         vmm = {"PSNR": (15, 50), "SSIM": (0.8, 1), "DICE 2D": (0.3, 1)}
-        for metric in cfg.heatmap_metrics:
+        # 3D metrics are one scalar per run — a constant heatmap is
+        # meaningless, so only per-view metrics export (as the reference
+        # does, visualization.py:519,573)
+        heat = cfg.heatmap_metrics
+        if heat is None:
+            heat = [m for m in metric_cols if m not in ("DICE 3D", "DOT 3D")]
+        extra = None
+        if perceptual is not None and not perceptual.calibrated:
+            extra = {"calibrated": False}
+        for metric in heat:
             if metric not in df.columns:
                 continue
             for nm in ("top", "bottom"):
@@ -355,6 +383,7 @@ def run_sweep(
                     y_axis="Z", metric=metric,
                     vminmax=vmm.get(metric, (0.0, 1.0)),
                     center_point=cfg.center_point,
+                    json_extra=extra if metric in ("LPIPS", "DISTS") else None,
                 )
 
     return df

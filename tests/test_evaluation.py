@@ -325,3 +325,163 @@ def test_ssim_bounded_on_constant_regions():
     assert s <= 1.0 + 1e-6
     s2 = float(ssim(x * 0.9998, x))
     assert s2 <= 1.0 + 1e-6
+
+
+def test_lpips_dists_match_torch_formula():
+    """Our LPIPS/DISTS math == an independent torch implementation of the
+    published formulas with identical (random) weights — architecture-level
+    golden values without network access (VERDICT r1 #3a)."""
+    torch = pytest.importorskip("torch")
+
+    from nerf_for_angiography_tpu.evaluation.perceptual import (
+        _IMAGENET_MEAN,
+        _IMAGENET_STD,
+        _VGG16_PLAN,
+        PerceptualMetrics,
+        vgg16_features,
+    )
+
+    pm = PerceptualMetrics.uncalibrated(jax.random.PRNGKey(7))
+    rs = np.random.RandomState(1)
+    a = rs.rand(24, 24).astype(np.float32)
+    b = np.clip(a + 0.1 * rs.randn(24, 24).astype(np.float32), 0, 1)
+
+    got_lpips = float(pm.lpips(jnp.asarray(a), jnp.asarray(b)))
+    got_dists = float(pm.dists(jnp.asarray(a), jnp.asarray(b)))
+
+    def t_prep(img):
+        x = torch.tensor(img)[None, None].repeat(1, 3, 1, 1)
+        mean = torch.tensor(_IMAGENET_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(_IMAGENET_STD).view(1, 3, 1, 1)
+        return (x - mean) / std
+
+    def t_feats(x):
+        feats = []
+        h = x
+        for i, ((w, bb), (out_c, pool)) in enumerate(zip(pm.vgg_params, _VGG16_PLAN)):
+            if pool:
+                h = torch.nn.functional.max_pool2d(h, 2, 2)
+            wt = torch.tensor(np.asarray(w).transpose(3, 2, 0, 1))
+            h = torch.nn.functional.relu(
+                torch.nn.functional.conv2d(h, wt, torch.tensor(np.asarray(bb)),
+                                           padding=1)
+            )
+            if i in (1, 3, 6, 9, 12):
+                feats.append(h)
+        return feats
+
+    with torch.no_grad():
+        xa, xb = t_prep(a), t_prep(b)
+        fa, fb = t_feats(xa), t_feats(xb)
+        # LPIPS: unit-normalize channels, squared diff, 1x1 linear, mean, sum
+        t_lpips = 0.0
+        for f1, f2, w in zip(fa, fb, pm.lpips_weights):
+            n1 = f1 / torch.sqrt((f1**2).sum(1, keepdim=True) + 1e-10)
+            n2 = f2 / torch.sqrt((f2**2).sum(1, keepdim=True) + 1e-10)
+            d = (n1 - n2) ** 2
+            wt = torch.tensor(np.asarray(w)).view(1, -1, 1, 1)
+            t_lpips += float((d * wt).sum(1).mean())
+        # DISTS: texture/structure similarities over [input]+stages
+        t_dists_sim = 0.0
+        for f1, f2, al, be in zip([xa] + fa, [xb] + fb, pm.dists_alpha, pm.dists_beta):
+            mu1 = f1.mean((2, 3))
+            mu2 = f2.mean((2, 3))
+            var1 = f1.var((2, 3), unbiased=False)
+            var2 = f2.var((2, 3), unbiased=False)
+            cov = (f1 * f2).mean((2, 3)) - mu1 * mu2
+            c1 = c2 = 1e-6
+            texture = (2 * mu1 * mu2 + c1) / (mu1**2 + mu2**2 + c1)
+            structure = (2 * cov + c2) / (var1 + var2 + c2)
+            t_dists_sim += float(
+                (torch.tensor(np.asarray(al)) * texture
+                 + torch.tensor(np.asarray(be)) * structure).sum()
+            )
+        t_dists = 1.0 - t_dists_sim
+
+    assert abs(got_lpips - t_lpips) < 5e-4, (got_lpips, t_lpips)
+    assert abs(got_dists - t_dists) < 5e-4, (got_dists, t_dists)
+
+
+def test_perceptual_identity_is_zero():
+    from nerf_for_angiography_tpu.evaluation.perceptual import PerceptualMetrics
+
+    pm = PerceptualMetrics.uncalibrated(jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16), jnp.float32)
+    assert float(pm.lpips(img, img)) < 1e-6
+    # DISTS(x,x): texture=structure=1 -> sim = sum(alpha+beta) = 1 -> 0
+    assert abs(float(pm.dists(img, img))) < 1e-3
+
+
+def test_sweep_uncalibrated_perceptual_exports(tmp_path):
+    """Default-ish sweep with the uncalibrated backend: LPIPS/DISTS columns
+    present + flagged, and LPIPS/DISTS heatmap JSONs carry calibrated=false
+    (VERDICT r1 #3b/#4)."""
+    import json as _json
+
+    from nerf_for_angiography_tpu.evaluation.perceptual import PerceptualMetrics
+    from nerf_for_angiography_tpu.models import CPPN
+    from nerf_for_angiography_tpu.ops.interpolation import trilinear
+
+    vol = make_sphere_volume(res=24, extent=75.0, radius=30.0, mu=0.02)
+    tcfg = TrainConfig(
+        depth_samples_per_ray=32, sample_size=8, grid_resolution=8, n_iters=1,
+        display_every=1,
+    )
+    from nerf_for_angiography_tpu.training import create_train_state
+
+    model, state = create_train_state(tcfg, jax.random.PRNGKey(0))
+    ecfg = EvalConfig(
+        limited_size_vis=180.0, number_angles_vis=2.0, img_width=12,
+        img_height=12, sample_outside=100.0, depth_samples_per_ray=32,
+        outside=100.0, field_resolution=9, save_videos=True,
+    )
+    gt = gt_from_volume(vol, ecfg)
+    out = str(tmp_path / "eval")
+    pm = PerceptualMetrics.uncalibrated(jax.random.PRNGKey(0))
+    df = run_sweep(
+        model, state.params, state.grid, ecfg, gt, out,
+        perceptual=pm, gt_volume_sampler=lambda p: trilinear(vol, p),
+        verbose=False,
+    )
+    assert "LPIPS" in df.columns and "DISTS" in df.columns
+    assert "DICE 3D" in df.columns and "DOT 3D" in df.columns
+    assert bool(df["perceptual_calibrated"].iloc[0]) is False
+    md = pd.read_csv(os.path.join(out, "df-metrics.csv"), sep=";", index_col=0)
+    for col in ("LPIPS", "DISTS", "DICE 3D", "DOT 3D", "perceptual_calibrated"):
+        assert col in md.columns
+    # every computed per-view metric exports top+bottom heatmap JSONs
+    json_root = os.path.join(out, "jsonData")
+    found = []
+    for root, _, files in os.walk(json_root):
+        found += [os.path.join(root, f) for f in files]
+    names = [os.path.basename(f) for f in found]
+    for m in ("PSNR", "SSIM", "DICE 2D", "DOT 2D", "LPIPS", "DISTS"):
+        assert f"{m}-top-X-Z.json" in names, names
+        assert f"{m}-bottom-X-Z.json" in names, names
+    # constant 3D metrics are not heatmapped
+    assert "DICE 3D-top-X-Z.json" not in names
+    lp = [f for f in found if f.endswith("LPIPS-top-X-Z.json")][0]
+    obj = _json.load(open(lp))
+    assert obj["calibrated"] is False
+    ps = [f for f in found if f.endswith("PSNR-top-X-Z.json")][0]
+    assert "calibrated" not in _json.load(open(ps))
+    # rotation videos materialized (GIF fallback without ffmpeg)
+    vids = [f for f in os.listdir(os.path.join(out, "projections"))
+            if f.endswith((".gif", ".mp4"))]
+    assert any("theta-rotation" in v for v in vids)
+    assert all(os.path.getsize(os.path.join(out, "projections", v)) > 0
+               for v in vids)
+
+
+def test_video_gif_fallback(tmp_path):
+    from nerf_for_angiography_tpu.evaluation.video import get_videos
+
+    rows = [
+        {"org_img": np.random.rand(64), "pred_img": np.random.rand(64),
+         "binary_pred_img": np.random.rand(64)}
+        for _ in range(4)
+    ]
+    written = get_videos(rows, "theta-rotation", 8, 8, str(tmp_path))
+    assert len(written) == 4
+    for w in written:
+        assert os.path.getsize(w) > 0

