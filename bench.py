@@ -28,6 +28,10 @@ import signal
 import sys
 import time
 
+# the fused Pallas MLP (default on TPU) compiles through the axon tunnel's
+# remote-compile shim; must be set before backend init
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,6 +17,7 @@ replicated (the MLP is ~50k params — TP/PP are pointless, SURVEY.md §2).
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -119,13 +120,59 @@ def create_train_state(cfg: TrainConfig, key: jax.Array) -> tuple[CPPN, TrainSta
     )
 
 
-def _sigma_fn(model: CPPN, params, barf_alpha):
+def _pallas_eligible(model: CPPN) -> bool:
+    """The fused kernel covers the 'none'-encoding relu density stack —
+    the flagship 4x128 and both reference variants (2x128 / 4x64)."""
+    c = model.config
+    return (
+        c.pos_enc == "none"
+        and c.act_func == "relu"
+        and c.num_late_layers == 0
+        and c.num_input_channels == 3
+        and c.num_input_channels_views == 0
+        and c.num_output_channels == 1
+    )
+
+
+def density_raw(
+    model: CPPN, params, pts: jnp.ndarray, barf_alpha=0.0, backend: str = "auto"
+) -> jnp.ndarray:
+    """Raw 1-channel density at pts (P, 3) -> (P,).
+
+    backend='pallas' routes through the fused VMEM-resident MLP kernel
+    (ops/pallas/fused_mlp.py — 2.4x measured fwd+bwd vs XLA at the flagship
+    shape on v5e); 'auto' does so on a TPU backend when the model config is
+    eligible; 'xla' (and ineligible/CPU 'auto') uses the flax path.
+    """
+    use = False
+    if backend == "pallas":
+        if not _pallas_eligible(model):
+            raise ValueError(
+                "mlp_backend='pallas' needs pos_enc='none', relu, no view "
+                "branch/late layers (got an ineligible CPPNConfig)"
+            )
+        use = True
+    elif backend == "auto":
+        use = _pallas_eligible(model) and jax.devices()[0].platform in (
+            "tpu",
+            "axon",
+        )
+    if use:
+        from ..ops.pallas.fused_mlp import cppn_params_to_list, fused_mlp_raw
+
+        # pallas through the axon tunnel needs the remote-compile shim
+        os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+        plist = cppn_params_to_list(params, model.config.num_early_layers)
+        return fused_mlp_raw(plist, pts * model.config.input_scale)
+    return model.apply(params, pts, barf_alpha=barf_alpha)[..., -1]
+
+
+def _sigma_fn(model: CPPN, params, barf_alpha, backend: str = "auto"):
     """Density field closure: sigmoid of the 1-channel MLP output
     (nerf_helpers_acc.py:22-24, 66-70)."""
 
     def fn(pts):
-        raw = model.apply(params, pts, barf_alpha=barf_alpha)
-        return jax.nn.sigmoid(raw[..., -1])
+        return jax.nn.sigmoid(density_raw(model, params, pts, barf_alpha, backend))
 
     return fn
 
@@ -160,10 +207,10 @@ def render_rays(
             2 * cfg.outside, cfg.grid_resolution,
         ),
     )
-    raw = model.apply(
-        params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha
+    raw = density_raw(
+        model, params, m.positions.reshape(-1, 3), barf_alpha, cfg.mlp_backend
     )
-    sigma = jax.nn.sigmoid(raw[..., -1]).reshape(m.mask.shape)
+    sigma = jax.nn.sigmoid(raw).reshape(m.mask.shape)
     dists = m.t_ends - m.t_starts
     # nerfacc's alpha_thre exists to SKIP compute for negligible samples; we
     # evaluate the lattice densely anyway, so applying it as a hard mask
@@ -209,8 +256,10 @@ def render_rays_with_binary(
             2 * cfg.outside, cfg.grid_resolution,
         ),
     )
-    raw = model.apply(params, m.positions.reshape(-1, 3), barf_alpha=barf_alpha)
-    sigma = jax.nn.sigmoid(raw[..., -1]).reshape(m.mask.shape)
+    raw = density_raw(
+        model, params, m.positions.reshape(-1, 3), barf_alpha, cfg.mlp_backend
+    )
+    sigma = jax.nn.sigmoid(raw).reshape(m.mask.shape)
     dists = m.t_ends - m.t_starts
     keep = jax.lax.stop_gradient(
         prune_mask(
@@ -253,7 +302,7 @@ def _build_train_step(
         )
 
         # occupancy EMA updates every n steps (run_nerf_acc.py:285-286)
-        sig = _sigma_fn(model, state.params, barf_alpha)
+        sig = _sigma_fn(model, state.params, barf_alpha, cfg.mlp_backend)
         grid = every_n_step(
             state.grid, state.step, sig, cfg.alpha_thre,
             cfg.grid_update_every, cfg.grid_ema_decay,

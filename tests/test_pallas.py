@@ -74,6 +74,31 @@ def test_backward_matches_flax(setup):
         np.testing.assert_allclose(db_p / bscale, db_f / bscale, atol=0.03)
 
 
+def test_input_gradient_matches_flax(setup):
+    """dL/dx parity — pose refinement differentiates positions (origins
+    carry learnable shifts), so the kernel's dx must be real, not zeros."""
+    model, params, plist, x = setup
+    # compare against a bf16-compute flax model (the production setting,
+    # TrainConfig.compute_dtype): per-point input grads are sensitive to
+    # relu-mask flips at bf16 vs f32 activations, which is inherent to the
+    # precision, not the kernel (measured identical for flax-bf16 vs f32)
+    m16 = type(model)(
+        CPPNConfig(num_early_layers=N_HIDDEN, num_filters=128, dtype=jnp.bfloat16)
+    )
+
+    def loss_pallas(xx):
+        return jnp.mean(jax.nn.sigmoid(fused_mlp_raw(plist, xx, True)) ** 2)
+
+    def loss_flax(xx):
+        return jnp.mean(jax.nn.sigmoid(m16.apply(params, xx)[:, 0]) ** 2)
+
+    dx_p = np.asarray(jax.grad(loss_pallas)(x))
+    dx_f = np.asarray(jax.grad(loss_flax)(x))
+    scale = max(np.abs(dx_f).max(), 1e-8)
+    assert np.abs(dx_p).max() > 0.0
+    np.testing.assert_allclose(dx_p / scale, dx_f / scale, atol=0.02)
+
+
 def test_grads_roundtrip_structure(setup):
     model, params, plist, x = setup
     g = jax.grad(lambda p: jnp.sum(fused_mlp_raw(p, x, True)))(plist)

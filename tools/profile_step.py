@@ -16,6 +16,7 @@ import os
 import sys
 import time
 
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -48,7 +49,6 @@ def main():
     from nerf_for_angiography_tpu.data import (
         DatagenConfig, generate_dataset, make_vessel_volume,
     )
-    from nerf_for_angiography_tpu.data.transfer import transfer_func_ct
     from nerf_for_angiography_tpu.ops import occupancy as occ
     from nerf_for_angiography_tpu.ops.sampling import sample_pixel_rays
     from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
@@ -73,7 +73,11 @@ def main():
     lin = (np.arange(res) + 0.5) / res * 200.0 - 100.0
     gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
     pts = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(-1, 3), jnp.float32)
-    dens = transfer_func_ct(vol.sample(pts)).reshape(res, res, res)
+    from nerf_for_angiography_tpu.ops.interpolation import trilinear
+
+    # the phantom volume stores attenuation directly (make_vessel_volume),
+    # no HU transfer needed — thresholding it gives the converged topology
+    dens = trilinear(vol, pts).reshape(res, res, res)
     binary = np.asarray(dens) > 1e-4
     frac = binary.mean()
     occs = jnp.asarray(binary, jnp.float32) * 0.5
