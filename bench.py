@@ -68,9 +68,11 @@ def main():
         generate_dataset,
         make_vessel_volume,
     )
-    from nerf_for_angiography_tpu.ops.occupancy import march_rays
     from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
-    from nerf_for_angiography_tpu.training.train import make_train_chunk
+    from nerf_for_angiography_tpu.training.train import (
+        compact_switch_width,
+        make_train_chunk,
+    )
 
     # reference flagship workload (run_nerf_acc.py:129-183)
     cfg = TrainConfig()  # 75^2 rays, 300 samples, 4x128, 128^3 grid
@@ -100,15 +102,15 @@ def main():
     dense_elapsed = time.perf_counter() - t0
     dense_rate = cfg.img_sample_size * 3000 / dense_elapsed
 
-    probe = march_rays(
-        state.grid, ds.rays.origins[:20000], ds.rays.directions[:20000],
-        cfg.depth_samples_per_ray, 1400.0, 1600.0,
+    max_active = compact_switch_width(
+        cfg, state.grid, ds.rays.origins[:20000], ds.rays.directions[:20000],
+        1400.0, 1600.0,
     )
-    max_active = int(np.asarray(probe.mask.sum(-1).max()))
     sys.stderr.write(
         f"bench: dense phase {dense_rate:.0f} rays/s; grid occupancy "
-        f"{float(jnp.mean(state.grid.binary)):.4f}, max active samples/ray "
-        f"{max_active} (compact width {cfg.compact_samples})\n"
+        f"{float(jnp.mean(state.grid.binary)):.4f}, max needed width/ray "
+        f"{max_active} (compact width {cfg.compact_samples}, "
+        f"march_mode {cfg.march_mode})\n"
     )
 
     # --- phase 2: steady-state with the auto-compacted stepper ---

@@ -55,6 +55,12 @@ class DatagenConfig:
     # max grid dimension, applied to every view except the custom test one
     max_shift_rotation: float = 0.0
     max_shift_translation: float = 0.0
+    # pose-refinement scenario: emit ray origins/directions from the NOMINAL
+    # (unshifted) camera while pixel values come from the shifted (true)
+    # render — the mis-calibration the per-view learnable shifts must
+    # recover (TrainConfig.pose_refine). Mirrors the reference carrying
+    # unshifted_tform_cam2world through its data contract (cttoray.py:224-262).
+    rays_from_nominal: bool = False
     # sdftoray.py differences (SURVEY.md §2.7):
     angle_mode: str = "ct"  # 'ct': centered grid (cttoray.py:88-105);
     # 'sdf': arange(0, limited+1) grid (sdftoray.py:52-54)
@@ -210,12 +216,12 @@ def generate_dataset(
             config.focal_length, tuple(translation),
         )
         if rot_shift.any() or translation.any():
-            _, _, unshifted_c2w = get_ray_values(
+            nom_origins, nom_dirs, unshifted_c2w = get_ray_values(
                 float(theta), float(phi), config.larm, config.src_pt, W, H,
                 config.focal_length,
             )
         else:
-            unshifted_c2w = c2w
+            nom_origins, nom_dirs, unshifted_c2w = origins, directions, c2w
         img = render_drr(volume, origins, directions, depth_values, config.mode)
         img_np = np.asarray(img)
         if config.per_image_normalize:  # sdftoray.py:125-127
@@ -249,8 +255,12 @@ def generate_dataset(
         wmaps.append(np.asarray(wmap))
         mats.append(np.asarray(c2w))
         unshifted_mats.append(np.asarray(unshifted_c2w))
-        all_origins.append(np.asarray(origins).reshape(-1, 3))
-        all_dirs.append(np.asarray(directions).reshape(-1, 3))
+        ray_o, ray_d = (
+            (nom_origins, nom_dirs) if config.rays_from_nominal
+            else (origins, directions)
+        )
+        all_origins.append(np.asarray(ray_o).reshape(-1, 3))
+        all_dirs.append(np.asarray(ray_d).reshape(-1, 3))
 
     images = np.stack(imgs)  # (V, H, W)
     # joint normalization over ALL views (cttoray.py:265-267)

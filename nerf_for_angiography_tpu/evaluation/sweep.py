@@ -140,6 +140,10 @@ def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
         # the safe_occ_stride guard needs the REAL loaded grid resolution,
         # not the training default
         grid_resolution=int(grid_template.resolution),
+        # eval has no auto-switch guard against window truncation (training
+        # gates the window march on span coverage, loop.py) — keep the
+        # exact per-sample lattice masking here
+        march_mode="lattice",
     )
 
     def render(params, grid, theta_360, phi_360):

@@ -43,6 +43,7 @@ class RayBatch(NamedTuple):
     origins: jnp.ndarray
     directions: jnp.ndarray
     pixel_values: jnp.ndarray
+    image_ids: jnp.ndarray  # (n,) int32 view index (pose refinement gathers per-view shifts)
 
 
 def gumbel_topk_indices(
@@ -75,6 +76,7 @@ def sample_pixel_rays(
         origins=data.origins[idx],
         directions=data.directions[idx],
         pixel_values=data.pixel_values[idx],
+        image_ids=data.image_ids[idx],
     )
 
 
@@ -99,6 +101,7 @@ def sample_image_rays(
         origins=data.origins[idx],
         directions=data.directions[idx],
         pixel_values=data.pixel_values[idx],
+        image_ids=data.image_ids[idx],
     )
 
 
@@ -122,4 +125,5 @@ def whole_image_rays(
         origins=take(data.origins),
         directions=take(data.directions),
         pixel_values=take(data.pixel_values),
+        image_ids=take(data.image_ids),
     )

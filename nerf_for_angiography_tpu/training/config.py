@@ -70,6 +70,13 @@ class TrainConfig:
     # guaranteed superset mask — measured 410k -> 493k rays/s with
     # identical PSNR on v5e
     occ_stride: int = 2
+    # compacted-march strategy once compact_samples kicks in:
+    # 'window' = contiguous k-sample lattice window located by ~19 probes
+    #   of a dilated 4x-coarser grid (ops/occupancy.py::march_rays_window;
+    #   zero gathers, superset semantics);
+    # 'lattice' = per-sample fine-grid query + top-k compaction
+    #   (march_rays compact_k — nerfacc-strict masking).
+    march_mode: str = "window"
 
     # positional encoding / BARF (run_nerf_acc.py:160-167)
     pos_enc: str = "none"
@@ -77,6 +84,19 @@ class TrainConfig:
     fourier_sigma: float = 5.0
     barf_start: int = 8000
     barf_stop: int = 250_000
+
+    # per-view pose refinement: learnable world-space translation per
+    # training view added to ray origins inside the jitted step, trained
+    # jointly with the field at pose_lr. The TPU-native generalization of
+    # the reference's per-image translation parameters (model/CPPN.py:133-135
+    # img1/img2 — declared there but consumed nowhere). Pair with a dataset
+    # generated with max_shift_translation > 0 and rays_from_nominal=True.
+    pose_refine: bool = False
+    pose_lr: float = 1e-2
+    # steps before the pose shifts start moving (BARF-style curriculum: a
+    # randomly-initialized field gives noise pose gradients — let the field
+    # form from the misaligned views first, then align)
+    pose_start: int = 0
 
     # parallelism (no reference counterpart; SURVEY.md §2 parallelism)
     data_axis: str = "data"
@@ -148,6 +168,12 @@ def parse_train_args(argv=None) -> TrainConfig:
     p.add_argument("--grid_resolution", default=None, help="occupancy grid resolution")
     p.add_argument("--depth_samples", default=None, help="samples per ray")
     p.add_argument("--display_every", default=None, help="eval cadence")
+    p.add_argument(
+        "--pose_refine", action="store_true",
+        help="learn a per-view camera translation jointly with the field "
+        "(pair with datagen --max_shift_translation > 0)",
+    )
+    p.add_argument("--pose_lr", default=None, help="pose-shift Adam lr")
     a = p.parse_args(argv)
 
     kw = {}
@@ -175,6 +201,10 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["depth_samples_per_ray"] = int(a.depth_samples)
     if a.display_every:
         kw["display_every"] = int(a.display_every)
+    if a.pose_refine:
+        kw["pose_refine"] = True
+    if a.pose_lr:
+        kw["pose_lr"] = float(a.pose_lr)
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 

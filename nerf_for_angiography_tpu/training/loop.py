@@ -120,7 +120,9 @@ def train(
 
         train_rays = shard_leading_axis(train_rays, mesh)
 
-    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(cfg.seed), num_views=n_views
+    )
     if initial_state is not None:  # warm start / state injection
         state = initial_state
     dense_cfg = dataclasses.replace(cfg, compact_samples=0)
@@ -181,13 +183,11 @@ def train(
 
         if n_iter % cfg.display_every == 0:
             if compact_step is not None and not using_compact:
-                from ..ops.occupancy import march_rays as _march
+                from .train import compact_switch_width
 
-                probe = _march(
-                    state.grid, test.origins, test.directions,
-                    cfg.depth_samples_per_ray, near, far,
+                max_active = compact_switch_width(
+                    cfg, state.grid, test.origins, test.directions, near, far
                 )
-                max_active = int(np.asarray(probe.mask.sum(-1).max()))
                 if max_active <= int(0.9 * cfg.compact_samples):
                     using_compact = True
                     if verbose:

@@ -31,6 +31,7 @@ from ..ops.occupancy import (
     create_grid,
     every_n_step,
     march_rays,
+    march_rays_window,
     prune_mask,
     safe_occ_stride,
 )
@@ -91,19 +92,50 @@ def drop_test_view(rays: RayDataset, view_index: int, rays_per_view: int) -> Ray
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with the reference's continuous exponential lr decay
-    lr * 0.1^(step/500k) (run_nerf_acc.py:322-328)."""
+    lr * 0.1^(step/500k) (run_nerf_acc.py:322-328). With pose refinement,
+    the per-view shifts get their own Adam at cfg.pose_lr (translations
+    live at mm scale — the field lr would take ~10^4 steps per mm)."""
     schedule = optax.exponential_decay(
         init_value=cfg.coarse_lr,
         transition_steps=cfg.decay_steps,
         decay_rate=cfg.decay_rate,
         staircase=False,
     )
-    return optax.adam(learning_rate=schedule)
+    base = optax.adam(learning_rate=schedule)
+    if not cfg.pose_refine:
+        return base
+
+    def labels(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: (
+                "pose"
+                if any(getattr(k, "key", None) == "view_shifts" for k in path)
+                else "model"
+            ),
+            params,
+        )
+
+    pose_schedule = lambda step: jnp.where(  # noqa: E731
+        step < cfg.pose_start, 0.0, cfg.pose_lr
+    )
+    return optax.multi_transform(
+        {"model": base, "pose": optax.adam(pose_schedule)}, labels
+    )
 
 
-def create_train_state(cfg: TrainConfig, key: jax.Array) -> tuple[CPPN, TrainState]:
+def create_train_state(
+    cfg: TrainConfig, key: jax.Array, num_views: int | None = None
+) -> tuple[CPPN, TrainState]:
     k_model, k_loop = jax.random.split(key)
     model, params = init_cppn(cfg.model_config(), k_model)
+    if cfg.pose_refine:
+        if not num_views:
+            raise ValueError("pose_refine needs num_views")
+        # per-view learnable world translations live INSIDE the params
+        # collection (flax ignores extra entries; checkpoints/optimizer
+        # pick them up for free). Generalizes CPPN.py:133-135 img1/img2.
+        params = {"params": dict(params["params"])}
+        params["params"]["view_shifts"] = jnp.zeros((num_views, 3), jnp.float32)
     tx = make_optimizer(cfg)
     aabb = jnp.array([-cfg.outside] * 3 + [cfg.outside] * 3, jnp.float32)
     grid = create_grid(aabb, cfg.grid_resolution)
@@ -177,6 +209,67 @@ def _sigma_fn(model: CPPN, params, barf_alpha, backend: str = "auto"):
     return fn
 
 
+def _march_for(
+    cfg: TrainConfig,
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    near: float,
+    far: float,
+):
+    """Marching strategy dispatch. Dense lattice when compaction is off;
+    with compaction, 'window' (contiguous lattice window via the dilated
+    coarse grid — zero gathers) or 'lattice' (per-sample fine-grid query +
+    top-k compaction, nerfacc-strict masking) per cfg.march_mode."""
+    compacting = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
+    if compacting and cfg.march_mode == "window":
+        return march_rays_window(
+            grid, origins, directions, cfg.depth_samples_per_ray, near, far,
+            k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
+        )
+    return march_rays(
+        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
+        compact_k=cfg.compact_samples if compacting else None,
+        occ_stride=safe_occ_stride(
+            cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
+            2 * cfg.outside, cfg.grid_resolution,
+        ),
+    )
+
+
+def compact_switch_width(
+    cfg: TrainConfig,
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    near: float,
+    far: float,
+) -> int:
+    """Max per-ray sample width the compacted stepper would need to render
+    these rays losslessly — the auto-switch criterion (switch when this is
+    <= ~0.9 * cfg.compact_samples).
+
+    'lattice' mode keeps the first k ACTIVE samples: width = max active
+    count. 'window' mode keeps k CONSECUTIVE samples from the conservative
+    window start: width = max over rays of (last active - window start + 1).
+    """
+    probe = march_rays(
+        grid, origins, directions, cfg.depth_samples_per_ray, near, far
+    )
+    dm = np.asarray(probe.mask) > 0
+    if cfg.march_mode != "window":
+        return int(dm.sum(-1).max())
+    mw = march_rays_window(
+        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
+        k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
+    )
+    step_sz = (far - near) / cfg.depth_samples_per_ray
+    w0 = np.round((np.asarray(mw.t_starts[:, 0]) - near) / step_sz).astype(np.int64)
+    has = dm.any(-1)
+    last = dm.shape[-1] - 1 - np.argmax(dm[:, ::-1], -1)
+    return int(np.where(has, last - w0 + 1, 0).max())
+
+
 def render_rays(
     model: CPPN,
     params,
@@ -199,14 +292,7 @@ def render_rays(
     first k occupied samples per ray before the MLP (the nerfacc-style
     skip-empty-space speedup, ops/occupancy.py::compact_rays).
     """
-    m = march_rays(
-        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
-        compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
-        occ_stride=safe_occ_stride(
-            cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
-            2 * cfg.outside, cfg.grid_resolution,
-        ),
-    )
+    m = _march_for(cfg, grid, origins, directions, near, far)
     raw = density_raw(
         model, params, m.positions.reshape(-1, 3), barf_alpha, cfg.mlp_backend
     )
@@ -248,14 +334,7 @@ def render_rays_with_binary(
     """Normal + binary renders from ONE march + MLP evaluation (the two
     differ only in zeroing sub-threshold densities, visualization.py:343-352
     — the reference also reuses its predictions tensor there)."""
-    m = march_rays(
-        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
-        compact_k=cfg.compact_samples if cfg.compact_samples > 0 else None,
-        occ_stride=safe_occ_stride(
-            cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
-            2 * cfg.outside, cfg.grid_resolution,
-        ),
-    )
+    m = _march_for(cfg, grid, origins, directions, near, far)
     raw = density_raw(
         model, params, m.positions.reshape(-1, 3), barf_alpha, cfg.mlp_backend
     )
@@ -326,8 +405,13 @@ def _build_train_step(
             )
 
         def loss_fn(params):
+            origins = batch.origins
+            if cfg.pose_refine:
+                # learnable per-view camera translation (pose refinement):
+                # gradients flow loss -> sigma -> positions -> origins
+                origins = origins + params["params"]["view_shifts"][batch.image_ids]
             pixels, _, _ = render_rays(
-                model, params, grid, batch.origins, batch.directions,
+                model, params, grid, origins, batch.directions,
                 cfg, near, far, barf_alpha,
             )
             loss = jnp.mean((pixels - batch.pixel_values) ** 2)

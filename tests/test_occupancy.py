@@ -305,3 +305,138 @@ def test_occ_stride_superset_property_across_shapes():
                 assert np.all(
                     np.asarray(strided.mask) >= np.asarray(exact.mask) - 1e-6
                 ), (res, n_samples, want_stride, s)
+
+
+# ---------------------------------------------------------------------------
+# window marching (march_rays_window — the zero-gather compacted march)
+# ---------------------------------------------------------------------------
+
+from nerf_for_angiography_tpu.ops import (  # noqa: E402
+    coarse_dilated_bits,
+    march_rays_window,
+    window_probe_stride,
+)
+
+
+def _rand_rays(key, n, aabb_extent=100.0, src_z=1500.0):
+    """Rays from a distant source pointed at jittered targets in the box —
+    the C-arm geometry regime (cttoray.py:58-69)."""
+    k1, k2 = jax.random.split(key)
+    origins = jnp.array([[0.0, 0.0, src_z]]) + jax.random.normal(k1, (n, 3)) * 50.0
+    targets = jax.random.uniform(k2, (n, 3), minval=-60.0, maxval=60.0)
+    d = targets - origins
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return origins, d
+
+
+def _sphere_grid(res=64, radius=30.0):
+    g = create_grid(AABB, res)
+    return update_grid(g, sphere_sigma, occ_thre=1e-4)
+
+
+def test_window_march_covers_every_active_sample():
+    """Superset property: every sample the exact lattice march keeps must be
+    inside (and unmasked in) the window, across resolutions and radii."""
+    for res, radius, n_samples, k in [(64, 30.0, 300, 96), (128, 20.0, 300, 96),
+                                      (32, 45.0, 200, 128)]:
+        g = create_grid(AABB, res)
+        g = update_grid(g, lambda p: sphere_sigma(p, radius), occ_thre=1e-4)
+        o, d = _rand_rays(jax.random.PRNGKey(res), 256)
+        near, far = 1400.0, 1600.0
+        dense = march_rays(g, o, d, n_samples, near, far)
+        win = march_rays_window(g, o, d, n_samples, near, far, k=k,
+                                aabb_extent=200.0)
+        step = (far - near) / n_samples
+        w0 = np.round((np.asarray(win.t_starts[:, 0]) - near) / step).astype(int)
+        dm = np.asarray(dense.mask) > 0
+        wm = np.asarray(win.mask) > 0
+        for r in range(dm.shape[0]):
+            active = np.nonzero(dm[r])[0]
+            if active.size == 0:
+                continue
+            span_needed = active[-1] - w0[r] + 1
+            if span_needed > k:
+                # truncation regime (legal: same as compact_k) — skip
+                continue
+            cols = active - w0[r]
+            assert (cols >= 0).all(), f"res={res}: window starts after active"
+            assert wm[r, cols].all(), f"res={res}: active sample masked out"
+
+
+def test_window_march_equals_dense_when_grid_full():
+    """All-occupied grid + k = n_samples => the window IS the lattice; the
+    render must match the dense path exactly."""
+    g = create_grid(AABB, 32)  # fully occupied
+    o, d = _rand_rays(jax.random.PRNGKey(3), 64)
+    near, far = 1400.0, 1600.0
+    n_samples = 128
+    dense = march_rays(g, o, d, n_samples, near, far)
+    win = march_rays_window(g, o, d, n_samples, near, far, k=n_samples,
+                            aabb_extent=200.0)
+    sig_d = sphere_sigma(dense.positions)
+    sig_w = sphere_sigma(win.positions)
+    px_d = np.asarray(jnp.exp(-jnp.sum(sig_d * dense.mask * (dense.t_ends - dense.t_starts), -1)))
+    px_w = np.asarray(jnp.exp(-jnp.sum(sig_w * win.mask * (win.t_ends - win.t_starts), -1)))
+    np.testing.assert_allclose(px_w, px_d, atol=1e-6)
+
+
+def test_window_render_matches_lattice_render_on_compact_field():
+    """With a field that is zero outside occupied cells (the converged
+    regime), window render == exact masked lattice render: gap samples
+    contribute nothing, and the window covers all active samples."""
+    # radius 20: occupied chord <= ~62 samples + window-start conservatism
+    # stays within the k=96 budget for every ray (no truncation regime)
+    g = create_grid(AABB, 64)
+    g = update_grid(g, lambda p: sphere_sigma(p, radius=20.0), occ_thre=1e-4)
+    o, d = _rand_rays(jax.random.PRNGKey(7), 128)
+    near, far = 1400.0, 1600.0
+    n_samples, k = 300, 96
+    dense = march_rays(g, o, d, n_samples, near, far)
+    win = march_rays_window(g, o, d, n_samples, near, far, k=k, aabb_extent=200.0)
+    # field strictly inside the sphere => zero everywhere outside occupied
+    field = lambda p: sphere_sigma(p, radius=18.0, value=0.4)  # noqa: E731
+    dt = 200.0 / n_samples
+    px_d = np.asarray(jnp.exp(-jnp.sum(field(dense.positions) * dense.mask * dt, -1)))
+    px_w = np.asarray(jnp.exp(-jnp.sum(field(win.positions) * win.mask * dt, -1)))
+    np.testing.assert_allclose(px_w, px_d, atol=1e-5)
+
+
+def test_window_march_miss_rays_fully_masked():
+    g = _sphere_grid(res=32)
+    # rays that never touch the sphere (skim the +x face of the box)
+    o = jnp.array([[200.0, 95.0, 95.0]])
+    d = jnp.array([[-1.0, 0.0, 0.0]])
+    win = march_rays_window(g, o, d, 200, 90.0, 310.0, k=64, aabb_extent=200.0)
+    assert float(win.mask.sum()) == 0.0
+
+
+def test_window_probe_stride_guard():
+    # flagship: 300 samples over 200 units, 32^3 coarse cells of 6.25
+    s = window_probe_stride(300, 1400.0, 1600.0, 200.0, 32)
+    assert 1 <= s <= int(2 * 6.25 / (200.0 / 300))
+    # pathological: tiny coarse grid -> stride collapses but stays >= 1
+    assert window_probe_stride(10, 0.0, 1000.0, 200.0, 4) >= 1
+
+
+def test_coarse_dilated_bits_superset():
+    g = _sphere_grid(res=64)
+    packed, cres = coarse_dilated_bits(np.asarray(g.binary), 4)
+    assert cres == 16
+    # every occupied fine cell's coarse cell must be set
+    from nerf_for_angiography_tpu.ops.occupancy import _query_packed_bits
+
+    pts = cell_centers(g)
+    fine = np.asarray(query_occ(g, pts))
+    coarse = np.asarray(_query_packed_bits(packed, cres, g.aabb, pts))
+    assert (coarse[fine]).all()
+
+
+def test_window_march_is_jittable():
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(11), 32)
+    f = jax.jit(lambda g, o, d: march_rays_window(
+        g, o, d, 300, 1400.0, 1600.0, k=96, aabb_extent=200.0))
+    m = f(g, o, d)
+    assert m.positions.shape == (32, 96, 3)
+    m2 = march_rays_window(g, o, d, 300, 1400.0, 1600.0, k=96, aabb_extent=200.0)
+    np.testing.assert_allclose(np.asarray(m.mask), np.asarray(m2.mask))

@@ -1,0 +1,52 @@
+"""Held-out-view quality run on the TPU: the reference's flagship protocol
+(benchmarks/QUALITY.md) — 26-view vessel-phantom dataset, custom 135/135
+view held out, production train() loop.
+
+Usage: python tools/quality_run.py [--iters 20000] [--march window|lattice]
+       [--mlp auto|xla|pallas] [--log out.log]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--march", default=None, help="march_mode override")
+    ap.add_argument("--mlp", default=None, help="mlp_backend override")
+    ap.add_argument("--display_every", type=int, default=500)
+    args = ap.parse_args()
+
+    from nerf_for_angiography_tpu.data import (
+        DatagenConfig, generate_dataset, make_vessel_volume,
+    )
+    from nerf_for_angiography_tpu.training import TrainConfig
+    from nerf_for_angiography_tpu.training.loop import train
+
+    kw = dict(n_iters=args.iters, display_every=args.display_every)
+    if args.march:
+        kw["march_mode"] = args.march
+    if args.mlp:
+        kw["mlp_backend"] = args.mlp
+    cfg = TrainConfig(**kw)
+    dcfg = DatagenConfig(
+        limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
+        sample_outside=100.0, stratified_depths=False,
+    )
+    vol = make_vessel_volume(res=96)
+    ds = generate_dataset(vol, dcfg)
+    res = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
+    print(
+        f"RESULT best_vessel_psnr={res.best_psnr:.2f} at iter {res.best_iter}; "
+        f"last_psnr={res.last_psnr:.2f}; {res.rays_per_sec:.0f} rays/s "
+        f"(march={cfg.march_mode}, mlp={cfg.mlp_backend})"
+    )
+
+
+if __name__ == "__main__":
+    main()
