@@ -70,7 +70,8 @@ def main():
     )
     from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
     from nerf_for_angiography_tpu.training.train import (
-        compact_switch_width,
+        choose_compact_mode,
+        compact_k_for,
         make_train_chunk,
     )
 
@@ -102,19 +103,26 @@ def main():
     dense_elapsed = time.perf_counter() - t0
     dense_rate = cfg.img_sample_size * 3000 / dense_elapsed
 
-    max_active = compact_switch_width(
+    choice = choose_compact_mode(
         cfg, state.grid, ds.rays.origins[:20000], ds.rays.directions[:20000],
         1400.0, 1600.0,
     )
     sys.stderr.write(
         f"bench: dense phase {dense_rate:.0f} rays/s; grid occupancy "
-        f"{float(jnp.mean(state.grid.binary)):.4f}, max needed width/ray "
-        f"{max_active} (compact width {cfg.compact_samples}, "
-        f"march_mode {cfg.march_mode})\n"
+        f"{float(jnp.mean(state.grid.binary)):.4f}, compact mode choice "
+        f"{choice} (compact width {cfg.compact_samples})\n"
     )
 
-    # --- phase 2: steady-state with the auto-compacted stepper ---
-    use_cfg = cfg if max_active <= int(0.9 * cfg.compact_samples) else dense_cfg
+    # --- phase 2: steady-state with the auto-compacted stepper (same
+    # mode + adaptive-k selection the training loop makes) ---
+    use_cfg = (
+        dataclasses.replace(
+            cfg, march_mode=choice[0],
+            compact_samples=compact_k_for(choice[1], cfg),
+        )
+        if choice
+        else dense_cfg
+    )
     chunk = make_train_chunk(model, use_cfg, 1400.0, 1600.0, steps_per_call)
     for _ in range(2):  # compile + warm
         state, metrics, _, _ = chunk(state, ds.rays)

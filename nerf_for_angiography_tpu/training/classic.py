@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..geometry import linspace_depths, query_points, stratify_depths
-from ..models import CPPN
+from ..models import CPPN, barf_alpha_schedule
 from ..ops.occupancy import prune_mask
 from ..ops.rendering import fine_sampling, psnr_from_mse, render_xray
 from ..ops.sampling import RayDataset, sample_pixel_rays
@@ -55,8 +55,27 @@ def make_classic_train_step(
     shared = fine_model is None
     fine = model if shared else fine_model
     base_depths = linspace_depths(near, far, cfg.depth_samples_per_ray)
+    use_views = model.config.use_viewdirs
+    use_barf = cfg.pos_enc == "barf"
 
     def train_step(state: ClassicState, rays: RayDataset):
+        # both BARF windows anneal on the same start/stop schedule
+        # (CPPN.py:236-242 exposes the views alpha; the reference driver
+        # only ever steps 'pts', run_nerf_acc.py:268-272 — views fixed here)
+        alpha_pts = (
+            barf_alpha_schedule(
+                state.step, cfg.pos_enc_basis, cfg.barf_start, cfg.barf_stop
+            )
+            if use_barf
+            else 0.0
+        )
+        alpha_views = (
+            barf_alpha_schedule(
+                state.step, cfg.pos_enc_basis_views, cfg.barf_start, cfg.barf_stop
+            )
+            if (use_barf and use_views)
+            else 0.0
+        )
         key, k_sample, k_strat, k_fine = jax.random.split(state.key, 4)
         batch = sample_pixel_rays(
             k_sample, rays, cfg.img_sample_size,
@@ -72,7 +91,24 @@ def make_classic_train_step(
             p = params_all[0] if which == "coarse" or shared else params_all[1]
             m = model if which == "coarse" or shared else fine
             pts = query_points(batch.origins, batch.directions, depths_r)
-            raw = m.apply(p, pts.reshape(-1, 3))
+            if use_views:
+                # per-ray unit view direction, broadcast along samples
+                # (run_nerf.py viewdirs contract; the density head still
+                # drives the X-ray compositing via [..., -1])
+                vd = batch.directions / jnp.linalg.norm(
+                    batch.directions, axis=-1, keepdims=True
+                )
+                inp = jnp.concatenate(
+                    [pts, jnp.broadcast_to(vd[:, None, :], pts.shape)], axis=-1
+                )
+            else:
+                inp = pts
+            raw = m.apply(
+                p,
+                inp.reshape(-1, inp.shape[-1]),
+                barf_alpha=alpha_pts,
+                barf_alpha_views=alpha_views,
+            )
             sigma = jax.nn.sigmoid(raw[..., -1]).reshape(depths_r.shape)
             # finite last segment: the reference's 1e10 tail
             # (nerf_helpers.py:60-61) multiplied by a sigmoid density makes
@@ -119,6 +155,9 @@ def make_classic_train_step(
             "loss/train-pixel-fine": loss_f,
             "psnr/train-coarse": psnr_from_mse(loss_c),
             "psnr/train-fine": psnr_from_mse(loss_f),
+            # reference TB tag (run_nerf_acc.py:409) + the views alpha
+            "barf-coarse": jnp.asarray(alpha_pts, jnp.float32),
+            "barf-views-coarse": jnp.asarray(alpha_views, jnp.float32),
         }
         return (
             ClassicState(

@@ -84,6 +84,15 @@ class TrainConfig:
     fourier_sigma: float = 5.0
     barf_start: int = 8000
     barf_stop: int = 250_000
+    # view-direction branch (classic path): 0 disables (the reference's
+    # accelerated driver also runs without viewdirs, run_nerf_acc.py:174).
+    # When > 0 the model grows the rgb/alpha two-head output
+    # (model/CPPN.py:120-131) and barf_alpha_views anneals on the same
+    # start/stop schedule as barf_alpha (CPPN.py:236-242 supports the
+    # views alpha; the reference driver leaves it at 0 forever — fixed
+    # here, SURVEY.md §2.9-bis spirit).
+    num_input_channels_views: int = 0
+    pos_enc_basis_views: int = 4
 
     # per-view pose refinement: learnable world-space translation per
     # training view added to ray origins inside the jitted step, trained
@@ -93,6 +102,10 @@ class TrainConfig:
     # generated with max_shift_translation > 0 and rays_from_nominal=True.
     pose_refine: bool = False
     pose_lr: float = 1e-2
+    # small decay on the shifts: the along-ray translation component is
+    # photometrically near-unobservable (it changes magnification by
+    # ~t/src_distance), so prefer the minimum-norm correction there
+    pose_weight_decay: float = 1e-3
     # steps before the pose shifts start moving (BARF-style curriculum: a
     # randomly-initialized field gives noise pose gradients — let the field
     # form from the misaligned views first, then align)
@@ -130,11 +143,15 @@ class TrainConfig:
             num_late_layers=0,
             num_filters=self.num_hidden_units,
             num_input_channels=3,
-            num_output_channels=1,
-            num_input_channels_views=0,
+            # with viewdirs the model splits into rgb/alpha heads of
+            # num_output_channels - 1 features each (the reference's own
+            # head sizing, model/CPPN.py:120-131): 2 -> 1ch rgb + 1ch alpha
+            num_output_channels=2 if self.num_input_channels_views > 0 else 1,
+            num_input_channels_views=self.num_input_channels_views,
             use_bias=True,
             pos_enc=self.pos_enc,
             pos_enc_basis=self.pos_enc_basis,
+            pos_enc_basis_views=self.pos_enc_basis_views,
             act_func="relu",
             fourier_sigma=self.fourier_sigma,
             num_img=1,

@@ -137,13 +137,12 @@ def train(
     # switch to the compacted stepper (~2x measured on v5e at the converged
     # grid; nerfacc gets its speedup from the same regime). Checked at eval
     # cadence on the held-out view's marching mask.
+    # the stepper itself is built lazily at switch time with the march mode
+    # choose_compact_mode selects (window when the active span fits k,
+    # lattice-top-k for multi-branch rays whose spans do not)
     compact_step = None
     using_compact = False
-    if 0 < cfg.compact_samples < cfg.depth_samples_per_ray:
-        compact_step = make_train_step(
-            model, cfg, near, far,
-            num_images=n_views - 1, rays_per_image=rays_per_view,
-        )
+    want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
 
     exp_name = datetime.now().astimezone().strftime("%Y-%m-%d-%H%M")
     page_data = build_page_data(cfg, exp_name)
@@ -182,19 +181,56 @@ def train(
             logger.train_images(p, t, n_iter)
 
         if n_iter % cfg.display_every == 0:
-            if compact_step is not None and not using_compact:
-                from .train import compact_switch_width
+            if want_compact and not using_compact:
+                from .train import choose_compact_mode, compact_k_for
 
-                max_active = compact_switch_width(
+                choice = choose_compact_mode(
                     cfg, state.grid, test.origins, test.directions, near, far
                 )
-                if max_active <= int(0.9 * cfg.compact_samples):
+                if choice is not None:
+                    compact_mode, width = choice
+                    compact_k = compact_k_for(width, cfg)
+                    compact_step = make_train_step(
+                        model,
+                        dataclasses.replace(
+                            cfg, march_mode=compact_mode,
+                            compact_samples=compact_k,
+                        ),
+                        near, far,
+                        num_images=n_views - 1, rays_per_image=rays_per_view,
+                    )
                     using_compact = True
                     if verbose:
                         print(
                             f"switching to compacted stepper at iter {n_iter} "
-                            f"(max active samples/ray {max_active} <= "
-                            f"{cfg.compact_samples})"
+                            f"(march_mode={compact_mode}, needed width/ray "
+                            f"{width} -> k={compact_k})"
+                        )
+            elif want_compact and using_compact:
+                # the grid keeps evolving (EMA decay + re-threshold can add
+                # cells back): re-measure the lossless width and regrow k
+                # before truncation can bias training
+                from .train import compact_k_for, compact_switch_width
+
+                width = compact_switch_width(
+                    cfg, state.grid, test.origins, test.directions, near, far,
+                    mode=compact_mode,
+                )
+                if width > int(0.93 * compact_k) and compact_k < cfg.compact_samples:
+                    compact_k = compact_k_for(width, cfg)
+                    compact_step = make_train_step(
+                        model,
+                        dataclasses.replace(
+                            cfg, march_mode=compact_mode,
+                            compact_samples=compact_k,
+                        ),
+                        near, far,
+                        num_images=n_views - 1, rays_per_image=rays_per_view,
+                    )
+                    if verbose:
+                        print(
+                            f"regrowing compacted stepper at iter {n_iter} "
+                            f"(width {width} -> k={compact_k})"
                         )
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])

@@ -315,3 +315,109 @@ def test_auto_compaction_switch(sphere_data, capsys):
     out = capsys.readouterr().out
     assert "switching to compacted stepper" in out
     assert np.isfinite(result.last_psnr)
+
+
+def test_pose_refinement_recovers_translation():
+    """Per-view learnable camera translations recover a known injected
+    world-space pose error (the reference declares per-image translation
+    params at model/CPPN.py:133-135 but never consumes them; here they are
+    first-class): dataset rays come from the NOMINAL cameras while pixels
+    are rendered by translated cameras (translation enters cam2world
+    additively with unchanged rotation, geometry/pose.py::source_matrix).
+
+    Observability: the photometric loss constrains each camera only in its
+    IMAGE PLANE — an along-ray translation changes magnification by
+    ~t/src_distance (~0.3% here, invisible at 24px), and a global world
+    translation is a gauge freedom shared with the field. So recovery is
+    asserted on per-view in-plane residuals after solving for the best
+    global gauge translation (the standard camera-opt evaluation, cf. BARF
+    test-time pose alignment)."""
+    from nerf_for_angiography_tpu.data import make_vessel_volume
+
+    vol = make_vessel_volume(res=48)
+    dcfg = DatagenConfig(
+        limited_size=90.0, number_angles=1.0, img_width=24, img_height=24,
+        sample_outside=100.0, stratified_depths=False,
+        max_shift_translation=0.05, rays_from_nominal=True,
+    )
+    ds = generate_dataset(vol, dcfg, key=jax.random.PRNGKey(5))
+    gt = np.stack(
+        [
+            np.asarray(ds.proj[c])
+            for c in ("translation_x", "translation_y", "translation_z")
+        ],
+        axis=-1,
+    )  # (V, 3); last (test) view is zero by construction
+    n_views = gt.shape[0]
+    assert np.abs(gt[:-1]).max() > 1.0  # the injection actually happened
+
+    # per-view in-plane projector from the central ray direction
+    per = dcfg.img_width * dcfg.img_height
+    dirs = np.asarray(ds.rays.directions).reshape(n_views, per, 3)
+    d_c = dirs[:, (dcfg.img_height // 2) * dcfg.img_width + dcfg.img_width // 2]
+    d_c = d_c / np.linalg.norm(d_c, axis=-1, keepdims=True)
+    proj = np.eye(3)[None] - d_c[:, :, None] * d_c[:, None, :]  # (V, 3, 3)
+
+    def inplane_residuals(learned):
+        r = learned - gt  # (V, 3)
+        rhs = np.einsum("vij,vj->vi", proj, r)
+        g, *_ = np.linalg.lstsq(
+            proj.reshape(-1, 3), rhs.reshape(-1), rcond=None
+        )  # best global gauge translation
+        e = np.einsum("vij,vj->vi", proj, r - g[None])
+        return np.linalg.norm(e, axis=-1)
+
+    cfg = tiny_cfg(
+        pose_refine=True, pose_lr=3e-2, pose_start=200, n_iters=900,
+        grid_update_every=100_000,  # keep the all-occupied grid: isolate pose
+        coarse_lr=2e-3, sample_size=24,  # 576-ray batches (of 2880 total)
+    )
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), num_views=n_views
+    )
+    assert state.params["params"]["view_shifts"].shape == (n_views, 3)
+    step = make_train_step(model, cfg, near=1400.0, far=1600.0)
+    for _ in range(cfg.n_iters):
+        state, metrics, _, _ = step(state, ds.rays)
+
+    learned = np.asarray(state.params["params"]["view_shifts"])
+    e0 = inplane_residuals(np.zeros_like(gt))  # error with zero correction
+    e = inplane_residuals(learned)
+    assert e.mean() < 0.4 * e0.mean(), f"aligned in-plane {e} vs initial {e0}"
+    assert (e < 0.8 * e0 + 0.05).all(), f"aligned in-plane {e} vs initial {e0}"
+    assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
+
+
+def test_classic_viewdirs_barf_training(sphere_data):
+    """View-direction branch + BARF: both alphas anneal on the shared
+    schedule (the reference's CPPN.py:236-242 supports the views alpha but
+    run_nerf_acc.py:268-272 only ever steps 'pts' — wired end-to-end here)
+    and the two-head model (rgb/alpha, CPPN.py:120-131) still learns the
+    X-ray phantom through its density head."""
+    from nerf_for_angiography_tpu.training.classic import (
+        create_classic_state,
+        make_classic_train_step,
+    )
+
+    cfg = tiny_cfg(
+        coarse_lr=5e-3, depth_samples_per_ray=48,
+        num_input_channels_views=3, pos_enc="barf", pos_enc_basis=4,
+        barf_start=0, barf_stop=30,
+    )
+    mc = cfg.model_config()
+    assert mc.use_viewdirs and mc.num_output_channels == 2
+    model, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    cstate = create_classic_state(model, state0.params, cfg, jax.random.PRNGKey(1))
+    step = make_classic_train_step(model, cfg, 1400.0, 1600.0, n_fine=16)
+
+    losses, alphas, alphas_v = [], [], []
+    for _ in range(40):
+        cstate, metrics = step(cstate, sphere_data.rays)
+        losses.append(float(metrics["loss/train-pixel-fine"]))
+        alphas.append(float(metrics["barf-coarse"]))
+        alphas_v.append(float(metrics["barf-views-coarse"]))
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(losses[-1])
+    # both schedules ramp from 0 to their basis by barf_stop=30 < 40 steps
+    assert alphas[0] < 1.0 and alphas[-1] == cfg.pos_enc_basis
+    assert alphas_v[0] < 1.0 and alphas_v[-1] == cfg.pos_enc_basis_views
