@@ -37,7 +37,10 @@ export function buildUrl(s) {
 export function buildAngleUrl(s, angles) {
   let base = buildUrl(s);
   base = base.substring(0, base.lastIndexOf("/"));
-  return `${base}/${angles[0]}${angles[1]}.json`;
+  // canonical one-decimal naming shared with the exporter
+  // (evaluation/heatmap.py): a raw `${angles[0]}` drops the ".0" that
+  // Python float formatting emits and the hover fetch would 404
+  return `${base}/${angles[0].toFixed(1)}${angles[1].toFixed(1)}.json`;
 }
 
 function paintImage(canvasId, flat) {

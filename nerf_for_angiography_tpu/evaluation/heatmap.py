@@ -178,7 +178,14 @@ def get_2d_heatmap(
             "org": org.tolist(),
             "diff": np.abs(pred - org).tolist(),
         }
-        with open(os.path.join(experiment_folder, f"{t}{p}.json"), "w") as f:
+        # canonical one-decimal naming, matched by buildAngleUrl's
+        # toFixed(1) (cag_vis/app.js). The reference's f"{t}{p}.json"
+        # (helpers.py:256) leans on Python float repr, which a JS number
+        # can't reproduce (180.0 -> "180"); its own React app works around
+        # it with a hardcoded '.0' suffix (ReactHeatmap.js:112).
+        with open(
+            os.path.join(experiment_folder, f"{t:.1f}{p:.1f}.json"), "w"
+        ) as f:
             json.dump(obj, f)
     return json_obj
 

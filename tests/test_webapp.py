@@ -134,7 +134,7 @@ def test_server_serves_json_and_app(tmp_path):
         # per-angle image JSON
         a0 = data["angles"][0]
         base = url.rsplit("/", 1)[0]
-        per = json.loads(fetch(f"{base}/{a0[0]}{a0[1]}.json").read())
+        per = json.loads(fetch(f"{base}/{a0[0]:.1f}{a0[1]:.1f}.json").read())
         assert set(per.keys()) == {"pred", "org", "diff"}
     finally:
         proc.terminate()
