@@ -146,11 +146,18 @@ def main(argv=None):
                     page_data[k] = v
 
         gt = gt_from_volume(volume, cfg)
+        # multi-chip: shard sweep views across all local devices
+        mesh = None
+        if len(jax.devices()) > 1:
+            from nerf_for_angiography_tpu.parallel import create_mesh
+
+            mesh = create_mesh()
         run_sweep(
             model, params, grid, cfg, gt, rd,
             page_data=page_data,
             perceptual=perceptual,
             gt_volume_sampler=lambda pts: trilinear(volume, pts),
+            mesh=mesh,
         )
         print(f"  wrote df-metrics.csv + exports under {rd}")
 

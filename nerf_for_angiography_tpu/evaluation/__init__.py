@@ -18,9 +18,11 @@ from .perceptual import PerceptualMetrics, vgg16_features
 from .sweep import (
     EvalConfig,
     export_field_vtk,
+    make_batch_view_renderer,
     make_view_renderer,
     gt_from_volume,
     lca_eval_config,
+    render_sweep_views,
     render_view_pair,
     run_sweep,
     sweep_angles,
@@ -42,10 +44,12 @@ __all__ = [
     "gt_from_volume",
     "hemisphere_mask",
     "lca_eval_config",
+    "make_batch_view_renderer",
     "make_view_renderer",
     "mse",
     "normalize_cam_poses",
     "psnr",
+    "render_sweep_views",
     "render_view_pair",
     "run_sweep",
     "save_video",

@@ -128,10 +128,9 @@ def gt_from_volume(volume: RegularGrid, cfg: EvalConfig) -> Callable:
     return gt
 
 
-def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
-    """One jitted renderer reused for every sweep view (angles are traced
-    scalars — 1369 views compile ONCE, unlike the reference's per-view
-    chunked host loop, visualization.py:277-397)."""
+def _view_render_fn(model: CPPN, grid_template, cfg: EvalConfig):
+    """The raw (unjitted) per-view render closure shared by the scalar and
+    batched renderers."""
     tc = TrainConfig(
         depth_samples_per_ray=cfg.depth_samples_per_ray,
         outside=cfg.outside,
@@ -173,7 +172,40 @@ def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
             bpixels = jnp.exp(-jnp.sum(bsigma * dists, -1))
         return pixels, bpixels, c2w
 
-    return jax.jit(render)
+    return render
+
+
+def make_view_renderer(model: CPPN, grid_template, cfg: EvalConfig):
+    """One jitted renderer reused for every sweep view (angles are traced
+    scalars — 1369 views compile ONCE, unlike the reference's per-view
+    chunked host loop, visualization.py:277-397)."""
+    return jax.jit(_view_render_fn(model, grid_template, cfg))
+
+
+def make_batch_view_renderer(
+    model: CPPN, grid_template, cfg: EvalConfig, mesh=None
+):
+    """Batched sweep renderer: (thetas, phis) (B,) -> stacked images.
+
+    Renders chunk_views*n_devices views per dispatch with the view axis
+    sharded over the mesh (multi-chip eval — no reference counterpart,
+    SURVEY.md §2 parallelism). Params/grid are replicated; each device
+    renders its slice of views independently, so the only collective is the
+    output gather XLA inserts. Single-device this is pure dispatch
+    amortization over the 1369-view sweep."""
+    render = _view_render_fn(model, grid_template, cfg)
+    batched = jax.vmap(render, in_axes=(None, None, 0, 0))
+    if mesh is None:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    views = NamedSharding(mesh, P(mesh.axis_names[0]))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        in_shardings=(replicated, replicated, views, views),
+        out_shardings=views,
+    )
 
 
 def render_view_pair(
@@ -202,6 +234,44 @@ def render_view_pair(
         np.asarray(bpixels).reshape(H, W),
         np.asarray(c2w),
     )
+
+
+def render_sweep_views(
+    model: CPPN,
+    params,
+    grid: OccupancyGrid,
+    cfg: EvalConfig,
+    angles: np.ndarray,
+    mesh=None,
+) -> list:
+    """Render every (theta, phi) in ``angles`` with the batched (optionally
+    mesh-sharded) renderer; returns [(pred HxW, bpred HxW, c2w 4x4), ...]
+    in input order. The view list is padded to a full final batch (the
+    sharded axis needs equal per-device extents); padding views are
+    rendered and dropped."""
+    H, W = cfg.img_height, cfg.img_width
+    n_dev = mesh.size if mesh is not None else 1
+    batch = max(1, cfg.chunk_views) * n_dev
+    t360 = np.where(angles[:, 0] >= 0, angles[:, 0], 360 + angles[:, 0])
+    p360 = np.where(angles[:, 1] >= 0, angles[:, 1], 360 + angles[:, 1])
+    n = len(angles)
+    n_pad = (-n) % batch
+    t360 = np.concatenate([t360, np.full(n_pad, t360[-1] if n else 0.0)])
+    p360 = np.concatenate([p360, np.full(n_pad, p360[-1] if n else 0.0)])
+    renderer = make_batch_view_renderer(model, grid, cfg, mesh=mesh)
+    out = []
+    for s in range(0, n + n_pad, batch):
+        px, bpx, c2w = renderer(
+            params, grid,
+            jnp.asarray(t360[s:s + batch], jnp.float32),
+            jnp.asarray(p360[s:s + batch], jnp.float32),
+        )
+        px = np.asarray(px)
+        bpx = np.asarray(bpx)
+        c2w = np.asarray(c2w)
+        for k in range(min(batch, n - s)):
+            out.append((px[k].reshape(H, W), bpx[k].reshape(H, W), c2w[k]))
+    return out
 
 
 def export_field_vtk(
@@ -242,9 +312,11 @@ def run_sweep(
     perceptual=None,
     gt_volume_sampler: Callable | None = None,
     verbose: bool = True,
+    mesh=None,
 ) -> pd.DataFrame:
     """Full evaluation of one trained run. Returns the metric DataFrame
-    (also written as df-metrics.csv)."""
+    (also written as df-metrics.csv). With ``mesh``, sweep views are
+    sharded across its devices (cfg.chunk_views per device per dispatch)."""
     os.makedirs(store_folder_name, exist_ok=True)
     proj_dir = os.path.join(store_folder_name, "projections")
     os.makedirs(proj_dir, exist_ok=True)
@@ -258,17 +330,14 @@ def run_sweep(
         Image.fromarray(arr, mode="L").save(path)
 
     angles = sweep_angles(cfg)
-    renderer = make_view_renderer(model, grid, cfg)
+    preds = render_sweep_views(model, params, grid, cfg, angles, mesh=mesh)
     rows = []
-    for theta, phi in angles:
+    for (theta, phi), (pred, bpred, c2w) in zip(angles, preds):
         theta_360 = theta if theta >= 0 else 360 + theta
         phi_360 = phi if phi >= 0 else 360 + phi
         image_id = f"{theta}-{phi}".replace(".", ",")
 
         target = np.asarray(gt_fn(theta_360, phi_360), np.float32)
-        pred, bpred, c2w = render_view_pair(
-            model, params, grid, cfg, theta_360, phi_360, renderer=renderer
-        )
 
         file_image_id = f"image-{theta}-{phi}-0"
         imsave_gray(f"{proj_dir}/{file_image_id}.png", pred)

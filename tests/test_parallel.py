@@ -115,3 +115,42 @@ def test_grad_psum_equivalence():
     ys = jax.device_put(y, data_sharding(mesh))
     g_sharded = jax.jit(jax.grad(loss))(w, xs, ys)
     np.testing.assert_allclose(np.asarray(g_single), np.asarray(g_sharded), rtol=1e-5)
+
+
+def test_sharded_eval_sweep_matches_sequential():
+    """render_sweep_views with the view axis sharded over the 8-device CPU
+    mesh == the sequential per-view renderer (multi-chip eval sweep,
+    evaluation/sweep.py::make_batch_view_renderer)."""
+    from nerf_for_angiography_tpu.evaluation import (
+        EvalConfig,
+        render_sweep_views,
+        render_view_pair,
+    )
+    from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
+
+    tcfg = TrainConfig(
+        depth_samples_per_ray=32, grid_resolution=8, outside=100.0
+    )
+    model, state = create_train_state(tcfg, jax.random.PRNGKey(0))
+    ecfg = EvalConfig(
+        limited_size_vis=90.0, number_angles_vis=2.0, img_width=8,
+        img_height=8, depth_samples_per_ray=32, outside=100.0, chunk_views=1,
+    )
+    # 9 views over an 8-device mesh: exercises padding of the final batch
+    angles = np.array(
+        [[t, p] for t in (-45.0, 0.0, 45.0) for p in (-45.0, 0.0, 45.0)]
+    )
+    mesh = create_mesh()
+    sharded = render_sweep_views(
+        model, state.params, state.grid, ecfg, angles, mesh=mesh
+    )
+    assert len(sharded) == len(angles)
+    for (theta, phi), (pred, bpred, c2w) in zip(angles, sharded):
+        t360 = theta if theta >= 0 else 360 + theta
+        p360 = phi if phi >= 0 else 360 + phi
+        p_seq, b_seq, c_seq = render_view_pair(
+            model, state.params, state.grid, ecfg, t360, p360
+        )
+        np.testing.assert_allclose(pred, p_seq, atol=1e-5)
+        np.testing.assert_allclose(bpred, b_seq, atol=1e-5)
+        np.testing.assert_allclose(c2w, c_seq, atol=1e-5)

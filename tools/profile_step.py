@@ -1,17 +1,15 @@
-"""Per-op wall-clock profile of the flagship compacted training step.
+"""Decompose the steady-state training step cost on the real TPU.
 
-Synthesizes a converged-looking state instantly instead of training 3k
-iterations: the occupancy grid is built from the analytic vessel phantom's
-density through the CT transfer function (same occupied topology as a
-trained grid), and params are random (throughput is data-independent).
+Times each stage of the compacted step in isolation (march only, MLP
+fwd, MLP fwd+bwd, composite, full step) at the flagship bench workload so
+kernel work targets the measured bottleneck instead of guesses. Writes one
+JSON line per stage.
 
-Timings use the float() fetch-sync pattern (block_until_ready is unreliable
-through the axon tunnel, CLAUDE.md). One TPU process at a time.
-
-Usage: python tools/profile_step.py [--dense]
+Usage: python tools/profile_step.py [--mode window|lattice|dense] [--k 96]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -24,42 +22,45 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=20, warmup=3, **kw):
+def timeit(fn, *args, warmup=2, iters=20):
     for _ in range(warmup):
-        out = fn(*args, **kw)
-    _sync(out)
+        out = fn(*args)
+    jax.tree.map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+        out,
+    )
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    _sync(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
-
-
-def _sync(out):
-    leaves = jax.tree.leaves(out)
-    if leaves:
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+        out,
+    )
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dense", action="store_true", help="profile dense (uncompacted) step")
+    ap.add_argument("--mode", default="lattice")
+    ap.add_argument("--k", type=int, default=96)
+    ap.add_argument("--rays", type=int, default=5625)
+    ap.add_argument("--train_iters", type=int, default=3000)
     args = ap.parse_args()
+
+    import dataclasses
 
     from nerf_for_angiography_tpu.data import (
         DatagenConfig, generate_dataset, make_vessel_volume,
     )
-    from nerf_for_angiography_tpu.ops import occupancy as occ
-    from nerf_for_angiography_tpu.ops.sampling import sample_pixel_rays
+    from nerf_for_angiography_tpu.ops.occupancy import (
+        march_rays, march_rays_window, safe_occ_stride,
+    )
     from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
     from nerf_for_angiography_tpu.training.train import (
-        make_train_chunk, make_train_step, render_rays, _sigma_fn,
+        density_raw, make_train_chunk, make_train_step,
     )
 
-    cfg = TrainConfig()
-    if args.dense:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, compact_samples=0)
+    cfg = TrainConfig(march_mode=args.mode, compact_samples=args.k)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
         sample_outside=100.0, stratified_depths=False,
@@ -68,111 +69,72 @@ def main():
     ds = generate_dataset(vol, dcfg)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0))
 
-    # synthetic converged grid: occupied where the phantom volume attenuates
-    res = cfg.grid_resolution
-    lin = (np.arange(res) + 0.5) / res * 200.0 - 100.0
-    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
-    pts = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(-1, 3), jnp.float32)
-    from nerf_for_angiography_tpu.ops.interpolation import trilinear
+    # reach the pruned-grid steady state quickly with the dense chunked step
+    dense_cfg = dataclasses.replace(cfg, compact_samples=0)
+    chunk = make_train_chunk(model, dense_cfg, 1400.0, 1600.0, 50)
+    for _ in range(args.train_iters // 50):
+        state, *_ = chunk(state, ds.rays)
+    jax.block_until_ready(state.params)
+    print(
+        f"occupancy {float(jnp.mean(state.grid.binary)):.4f}", file=sys.stderr
+    )
 
-    # the phantom volume stores attenuation directly (make_vessel_volume),
-    # no HU transfer needed — thresholding it gives the converged topology
-    dens = trilinear(vol, pts).reshape(res, res, res)
-    binary = np.asarray(dens) > 1e-4
-    frac = binary.mean()
-    occs = jnp.asarray(binary, jnp.float32) * 0.5
-    grid = occ.OccupancyGrid(occs=occs, binary=jnp.asarray(binary), aabb=state.grid.aabb)
-    state = state._replace(grid=grid, vessel_grid=jax.tree.map(jnp.copy, grid))
-    print(f"grid occupancy fraction: {frac:.4f}", file=sys.stderr)
-
-    n = cfg.img_sample_size
-    key = jax.random.PRNGKey(1)
-    batch = sample_pixel_rays(key, ds.rays, n)
-    _sync(batch)
+    o = ds.rays.origins[: args.rays]
+    d = ds.rays.directions[: args.rays]
     near, far = 1400.0, 1600.0
-    k = cfg.compact_samples if cfg.compact_samples > 0 else None
+    n = cfg.depth_samples_per_ray
+    results = {}
 
-    rows = {}
+    # --- march variants ---
+    if args.mode == "window":
+        march = jax.jit(lambda g: march_rays_window(
+            g, o, d, n, near, far, k=args.k, aabb_extent=2 * cfg.outside))
+    else:
+        stride = safe_occ_stride(
+            cfg.occ_stride, n, near, far, 2 * cfg.outside, cfg.grid_resolution
+        )
+        march = jax.jit(lambda g: march_rays(
+            g, o, d, n, near, far,
+            compact_k=args.k if args.mode == "lattice" else None,
+            occ_stride=stride))
+    results["march_ms"] = timeit(march, state.grid) * 1e3
+    m = march(state.grid)
+    pts = m.positions.reshape(-1, 3)
 
-    # 1. full step (chunked scan of 50, per-step)
-    chunk = make_train_chunk(model, cfg, near, far, 50)
-    st2 = jax.tree.map(jnp.copy, state)
-    def run_chunk():
-        nonlocal st2
-        st2, m, _, _ = chunk(st2, ds.rays)
-        return m
-    rows["full step (chunk/50, incl grid updates)"] = timeit(run_chunk, n=5, warmup=2) / 50
+    # --- MLP on the compacted points ---
+    fwd = jax.jit(lambda p, x: density_raw(model, p, x, 0.0, cfg.mlp_backend))
+    results["mlp_fwd_ms"] = timeit(fwd, state.params, pts) * 1e3
 
-    # single jitted step, no scan
-    step1 = make_train_step(model, cfg, near, far)
-    st3 = jax.tree.map(jnp.copy, state)
-    def run_step():
-        nonlocal st3
-        st3, m, _, _ = step1(st3, ds.rays)
-        return m
-    rows["full step (single dispatch)"] = timeit(run_step, n=20, warmup=3)
+    def loss(p, x):
+        return jnp.sum(density_raw(model, p, x, 0.0, cfg.mlp_backend))
 
-    # 2. sampling
-    f_sample = jax.jit(lambda key: sample_pixel_rays(key, ds.rays, n))
-    rows["sampling (gumbel top-k over dataset)"] = timeit(f_sample, key)
+    g = jax.jit(jax.grad(loss))
+    results["mlp_fwdbwd_ms"] = timeit(g, state.params, pts) * 1e3
 
-    # 3. march (incl. occupancy query + compaction)
-    f_march = jax.jit(lambda o, d: occ.march_rays(
-        grid, o, d, cfg.depth_samples_per_ray, near, far,
-        compact_k=k, occ_stride=cfg.occ_stride))
-    rows["march_rays (query+compact)"] = timeit(f_march, batch.origins, batch.directions)
+    fwd_x = jax.jit(lambda p, x: density_raw(model, p, x, 0.0, "xla"))
+    results["mlp_fwd_xla_ms"] = timeit(fwd_x, state.params, pts) * 1e3
+    gx = jax.jit(jax.grad(lambda p, x: jnp.sum(density_raw(model, p, x, 0.0, "xla"))))
+    results["mlp_fwdbwd_xla_ms"] = timeit(gx, state.params, pts) * 1e3
 
-    # 3b. occupancy query alone at the probe shape
-    m = f_march(batch.origins, batch.directions)
-    n_probe = cfg.depth_samples_per_ray // cfg.occ_stride
-    probe_pos = jnp.broadcast_to(
-        batch.origins[:, None, :], (n, n_probe, 3)
-    ) + jnp.linspace(near, far, n_probe)[None, :, None] * batch.directions[:, None, :]
-    f_query = jax.jit(lambda p: occ.query_occ(grid, p))
-    rows[f"query_occ ({n}x{n_probe} probes)"] = timeit(f_query, probe_pos)
+    # --- full step ---
+    use_cfg = cfg if args.mode != "dense" else dense_cfg
+    step = make_train_step(model, use_cfg, near, far)
+    results["full_step_ms"] = timeit(lambda s: step(s, ds.rays)[0], state) * 1e3
+    results["rays_per_sec"] = cfg.img_sample_size / (results["full_step_ms"] / 1e3)
 
-    # 4. MLP fwd at compacted shape
-    P = m.positions.reshape(-1, 3)
-    f_fwd = jax.jit(lambda p, x: model.apply(p, x))
-    rows[f"MLP fwd ({P.shape[0]} pts)"] = timeit(f_fwd, state.params, P)
-
-    # 5. MLP fwd+bwd (sum-of-output grad)
-    def loss_mlp(p, x):
-        return jnp.sum(jax.nn.sigmoid(model.apply(p, x)[..., -1]))
-    f_fb = jax.jit(jax.grad(loss_mlp))
-    rows[f"MLP fwd+bwd ({P.shape[0]} pts)"] = timeit(f_fb, state.params, P)
-
-    # 6. render_rays full (march + MLP + composite) fwd only
-    f_render = jax.jit(lambda p, o, d: render_rays(
-        model, p, grid, o, d, cfg, near, far)[0])
-    rows["render_rays fwd"] = timeit(f_render, state.params, batch.origins, batch.directions)
-
-    # 7. render + loss grad (the differentiable core of the step)
-    def loss_render(p, o, d, tgt):
-        px, _, _ = render_rays(model, p, grid, o, d, cfg, near, far)
-        return jnp.mean((px - tgt) ** 2)
-    f_rg = jax.jit(jax.grad(loss_render))
-    rows["render loss grad (march+mlp fwd+bwd+composite)"] = timeit(
-        f_rg, state.params, batch.origins, batch.directions, batch.pixel_values)
-
-    # 8. grid EMA update (dense cell eval), amortized /16
-    sig = _sigma_fn(model, state.params, 0.0)
-    f_upd = jax.jit(lambda g: occ.update_grid(g, sig, cfg.alpha_thre))
-    t_upd = timeit(f_upd, grid, n=5)
-    rows["grid EMA update (x2 grids, full)"] = 2 * t_upd
-    rows["grid EMA update amortized/step"] = 2 * t_upd / cfg.grid_update_every
-
-    # 9. adam update alone
-    import optax
-    from nerf_for_angiography_tpu.training.train import make_optimizer
-    tx = make_optimizer(cfg)
-    g0 = jax.tree.map(jnp.ones_like, state.params)
-    f_adam = jax.jit(lambda g, o, p: tx.update(g, o, p))
-    rows["adam update"] = timeit(f_adam, g0, state.opt_state, state.params)
-
-    width = max(len(k) for k in rows)
-    for name, ms in rows.items():
-        print(f"{name:<{width}}  {ms:8.3f} ms")
+    # --- MFU accounting ---
+    f = cfg.num_hidden_units
+    n_hidden = cfg.num_layers
+    macs_pt = 3 * f + n_hidden * f * f + f
+    flop_step = cfg.img_sample_size * args.k * macs_pt * 2 * 3  # fwd+bwd~3x
+    results["mlp_flop_per_step"] = flop_step
+    results["mfu_vs_197tf"] = (
+        flop_step / (results["full_step_ms"] / 1e3) / 197e12
+    )
+    results["mode"] = args.mode
+    results["k"] = args.k
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in results.items()}))
 
 
 if __name__ == "__main__":
