@@ -160,11 +160,20 @@ def get_2d_heatmap(
     if json_extra:
         json_obj.update(json_extra)
 
+    from ..native import write_angle_json, write_heatmap_json
+
     os.makedirs(experiment_folder, exist_ok=True)
-    with open(
-        os.path.join(experiment_folder, f"{metric}-{name}-{x_axis}-{y_axis}.json"), "w"
-    ) as f:
-        json.dump(json_obj, f)
+    metric_path = os.path.join(
+        experiment_folder, f"{metric}-{name}-{x_axis}-{y_axis}.json"
+    )
+    # native fast path (native/json_export.cpp) unless extra keys are
+    # riding along; shortest-round-trip floats, so json.load values match
+    if json_extra or not write_heatmap_json(
+        metric_path, json_obj["rad"], json_obj["theta"], json_obj["angles"],
+        json_obj["vals"],
+    ):
+        with open(metric_path, "w") as f:
+            json.dump(json_obj, f)
 
     # per-angle image JSONs ({theta}{phi}.json, helpers.py:255-259)
     preds = sub["pred_img"].tolist()
@@ -173,20 +182,19 @@ def get_2d_heatmap(
         t, p = ang.reshape(-1, 2)[k]
         pred = np.asarray(preds[k], float)
         org = np.asarray(orgs[k], float)
-        obj = {
-            "pred": pred.tolist(),
-            "org": org.tolist(),
-            "diff": np.abs(pred - org).tolist(),
-        }
+        diff = np.abs(pred - org)
         # canonical one-decimal naming, matched by buildAngleUrl's
         # toFixed(1) (cag_vis/app.js). The reference's f"{t}{p}.json"
         # (helpers.py:256) leans on Python float repr, which a JS number
         # can't reproduce (180.0 -> "180"); its own React app works around
         # it with a hardcoded '.0' suffix (ReactHeatmap.js:112).
-        with open(
-            os.path.join(experiment_folder, f"{t:.1f}{p:.1f}.json"), "w"
-        ) as f:
-            json.dump(obj, f)
+        angle_path = os.path.join(experiment_folder, f"{t:.1f}{p:.1f}.json")
+        if not write_angle_json(angle_path, pred, org, diff):
+            with open(angle_path, "w") as f:
+                json.dump(
+                    {"pred": pred.tolist(), "org": org.tolist(),
+                     "diff": diff.tolist()}, f,
+                )
     return json_obj
 
 

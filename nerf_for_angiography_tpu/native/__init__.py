@@ -109,3 +109,80 @@ def load_rays_csv(path: str) -> dict | None:
         "image_ids": image_idx,
         "num_views": int(n_views.value),
     }
+
+
+# ---------------------------------------------------------------------------
+# fast JSON export (native/json_export.cpp): the 1369-view sweep writes
+# ~41M floats of per-angle {pred, org, diff} JSONs at the flagship shape —
+# minutes of single-core json.dump, ~1s native. Shortest-round-trip
+# formatting (std::to_chars) keeps json.load values bit-identical.
+# ---------------------------------------------------------------------------
+
+_SRC_JSON = os.path.join(_REPO, "native", "json_export.cpp")
+_SO_JSON = os.path.join(_REPO, "native", "libjsonexport.so")
+_json_lib = None
+_json_build_failed = False
+
+
+def get_json_lib():
+    """Load (building if needed) the JSON export library; None if unavailable."""
+    global _json_lib, _json_build_failed
+    with _lock:
+        if _json_lib is not None or _json_build_failed:
+            return _json_lib
+        if not os.path.exists(_SO_JSON) or (
+            os.path.exists(_SRC_JSON)
+            and os.path.getmtime(_SRC_JSON) > os.path.getmtime(_SO_JSON)
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _SRC_JSON, "-o", _SO_JSON],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                _json_build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_JSON)
+        except OSError:
+            _json_build_failed = True
+            return None
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.write_angle_json.restype = ctypes.c_int64
+        lib.write_angle_json.argtypes = [
+            ctypes.c_char_p, f64p, f64p, f64p, ctypes.c_int64,
+        ]
+        lib.write_heatmap_json.restype = ctypes.c_int64
+        lib.write_heatmap_json.argtypes = [
+            ctypes.c_char_p, f64p, f64p, f64p, f64p, ctypes.c_int64,
+        ]
+        _json_lib = lib
+        return _json_lib
+
+
+def _c_f64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, np.float64).reshape(-1))
+
+
+def write_angle_json(path: str, pred, org, diff) -> bool:
+    """Native {pred, org, diff} writer; False -> caller uses json.dump."""
+    lib = get_json_lib()
+    if lib is None:
+        return False
+    p, o, d = _c_f64(pred), _c_f64(org), _c_f64(diff)
+    if not (p.size == o.size == d.size):
+        return False
+    return lib.write_angle_json(path.encode(), p, o, d, p.size) == 0
+
+
+def write_heatmap_json(path: str, rad, theta, angles, vals) -> bool:
+    """Native {rad, theta, angles, vals} writer; False -> json.dump."""
+    lib = get_json_lib()
+    if lib is None:
+        return False
+    r, t, v = _c_f64(rad), _c_f64(theta), _c_f64(vals)
+    a = _c_f64(angles)
+    if not (r.size == t.size == v.size and a.size == 2 * r.size):
+        return False
+    return lib.write_heatmap_json(path.encode(), r, t, a, v, r.size) == 0

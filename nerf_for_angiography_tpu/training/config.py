@@ -191,6 +191,14 @@ def parse_train_args(argv=None) -> TrainConfig:
         "(pair with datagen --max_shift_translation > 0)",
     )
     p.add_argument("--pose_lr", default=None, help="pose-shift Adam lr")
+    p.add_argument(
+        "--march_mode", default=None, choices=["window", "lattice"],
+        help="compacted-march strategy (auto-falls back window->lattice)",
+    )
+    p.add_argument(
+        "--mlp_backend", default=None, choices=["auto", "xla", "pallas"],
+        help="density-MLP backend (auto = fused Pallas kernel on TPU)",
+    )
     a = p.parse_args(argv)
 
     kw = {}
@@ -222,6 +230,10 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["pose_refine"] = True
     if a.pose_lr:
         kw["pose_lr"] = float(a.pose_lr)
+    if a.march_mode:
+        kw["march_mode"] = a.march_mode
+    if a.mlp_backend:
+        kw["mlp_backend"] = a.mlp_backend
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 

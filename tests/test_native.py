@@ -84,3 +84,79 @@ def test_native_loader_speed(csvs, tmp_path):
     t_pandas = time.perf_counter() - t0
     # don't be flaky about the exact ratio; just require a real win
     assert t_native < t_pandas, (t_native, t_pandas)
+
+
+def test_native_json_export_parity(tmp_path):
+    """Native JSON writers produce value-identical files to json.dump
+    (shortest-round-trip float formatting)."""
+    import json
+
+    from nerf_for_angiography_tpu.native import (
+        get_json_lib,
+        write_angle_json,
+        write_heatmap_json,
+    )
+
+    if get_json_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    pred = np.round(rng.random(400), 10)
+    org = np.round(rng.random(400), 10)
+    diff = np.abs(pred - org)
+    p = str(tmp_path / "a.json")
+    assert write_angle_json(p, pred, org, diff)
+    got = json.load(open(p))
+    assert set(got) == {"pred", "org", "diff"}
+    np.testing.assert_array_equal(np.asarray(got["pred"]), pred)
+    np.testing.assert_array_equal(np.asarray(got["org"]), org)
+    np.testing.assert_array_equal(np.asarray(got["diff"]), diff)
+
+    rad = rng.random(37)
+    theta = rng.standard_normal(37)
+    angles = np.stack([rng.integers(-180, 180, 37).astype(float),
+                       rng.integers(-180, 180, 37).astype(float)], -1)
+    vals = rng.random(37) * 50
+    hp = str(tmp_path / "h.json")
+    assert write_heatmap_json(hp, rad, theta, angles, vals)
+    got = json.load(open(hp))
+    assert set(got) == {"rad", "theta", "angles", "vals"}
+    np.testing.assert_array_equal(np.asarray(got["rad"]), rad)
+    np.testing.assert_array_equal(np.asarray(got["angles"]), angles)
+    np.testing.assert_array_equal(np.asarray(got["vals"]), vals)
+    # integral values parse as ints — same VALUE, which is the contract
+    assert got["angles"][0][0] == angles[0][0]
+
+
+def test_native_json_export_speed(tmp_path):
+    """The native writer must beat json.dump by a wide margin (it exists to
+    absorb the 41M-float flagship sweep export)."""
+    import json
+    import time
+
+    from nerf_for_angiography_tpu.native import get_json_lib, write_angle_json
+
+    if get_json_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(1)
+    pred = rng.random(30_000)
+    org = rng.random(30_000)
+    diff = np.abs(pred - org)
+
+    t0 = time.perf_counter()
+    for i in range(5):
+        write_angle_json(str(tmp_path / f"n{i}.json"), pred, org, diff)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(5):
+        with open(tmp_path / f"p{i}.json", "w") as f:
+            json.dump({"pred": pred.tolist(), "org": org.tolist(),
+                       "diff": diff.tolist()}, f)
+    t_py = time.perf_counter() - t0
+    assert t_native < t_py, (t_native, t_py)
