@@ -34,7 +34,7 @@ def main(argv=None):
     p.add_argument(
         "--volume",
         default="phantom:vessel",
-        help="VTK volume path, or phantom:vessel / phantom:sphere",
+        help="VTK volume path, or phantom:vessel / phantom:sphere / phantom:lca",
     )
     p.add_argument("--out", default="data", help="output root directory")
     p.add_argument("--img_size", default=None, help="override image size (pixels)")
@@ -50,6 +50,7 @@ def main(argv=None):
     from nerf_for_angiography_tpu.data import (
         DatagenConfig,
         generate_dataset,
+        make_lca_sdf_volume,
         make_sphere_volume,
         make_vessel_volume,
         write_proj_csv,
@@ -83,6 +84,8 @@ def main(argv=None):
         volume = make_vessel_volume()
     elif a.volume == "phantom:sphere":
         volume = make_sphere_volume()
+    elif a.volume == "phantom:lca":
+        volume = make_lca_sdf_volume()
     elif is_sdf:
         volume = load_sdf_volume(a.volume)
     else:

@@ -22,7 +22,7 @@ def main(argv=None):
     p.add_argument("--run_dir", default=None, help="specific run directory")
     p.add_argument(
         "--volume", default="phantom:vessel",
-        help="GT volume: VTK path or phantom:vessel / phantom:sphere",
+        help="GT volume: VTK path or phantom:vessel / phantom:sphere / phantom:lca",
     )
     p.add_argument("--perceptual_weights", default=None,
                    help=".npz from tools/convert_perceptual_weights.py")
@@ -48,7 +48,11 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from nerf_for_angiography_tpu.data import make_sphere_volume, make_vessel_volume
+    from nerf_for_angiography_tpu.data import (
+        make_lca_sdf_volume,
+        make_sphere_volume,
+        make_vessel_volume,
+    )
     from nerf_for_angiography_tpu.data.volumes import load_ct_volume, load_sdf_volume
     from nerf_for_angiography_tpu.evaluation import (
         EvalConfig,
@@ -79,6 +83,8 @@ def main(argv=None):
         volume = make_vessel_volume()
     elif a.volume == "phantom:sphere":
         volume = make_sphere_volume()
+    elif a.volume == "phantom:lca":
+        volume = make_lca_sdf_volume()
     elif is_lca:
         volume = load_sdf_volume(a.volume)
     else:

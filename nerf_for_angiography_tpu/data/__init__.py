@@ -10,6 +10,7 @@ from .datasets import (
 )
 from .drr import render_drr, render_view, render_views_sharded
 from .phantoms import (
+    make_lca_sdf_volume,
     make_sphere_volume,
     make_vessel_volume,
     sphere_line_integral,
@@ -26,6 +27,7 @@ __all__ = [
     "generate_dataset",
     "get_weighted_img",
     "load_data",
+    "make_lca_sdf_volume",
     "make_sphere_volume",
     "make_vessel_volume",
     "render_drr",

@@ -73,6 +73,34 @@ def make_vessel_volume(
     )
 
 
+def make_lca_sdf_volume(
+    res: int = 96, extent: float = 60.0, c1: float = 2.0
+) -> RegularGrid:
+    """Analytic LCA stand-in for the reference's SDF-LCA.vtk asset: the
+    signed distance to the capsule coronary tree passed through the same
+    ``rev_sigmoid`` transfer ``load_sdf_volume`` applies to the real file
+    (helpers.py:72-100), so the full LCA pipeline (sdftoray datagen ->
+    mode='sdf' DRRs -> lca_eval_config evaluation) is drivable without
+    assets via --volume phantom:lca."""
+    from .transfer import rev_sigmoid
+
+    pts = _grid_coords(res, extent).reshape(-1, 3)
+    sdf = np.full(pts.shape[0], np.inf, np.float32)
+    for a, b, radius in _VESSEL_SEGMENTS:
+        d = _capsule_distance(
+            pts, np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )
+        sdf = np.minimum(sdf, d - radius)
+    vals = np.asarray(rev_sigmoid(sdf, c1=c1), np.float32)
+    spacing = 2 * extent / (res - 1)
+    return RegularGrid.create(
+        vals.reshape(res, res, res),
+        origin=(-extent, -extent, -extent),
+        spacing=(spacing,) * 3,
+        fill_value=0.0,
+    )
+
+
 def sphere_line_integral(
     origin: np.ndarray, direction: np.ndarray, radius: float, mu: float
 ) -> float:

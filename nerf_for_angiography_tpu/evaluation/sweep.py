@@ -123,7 +123,8 @@ def gt_from_volume(volume: RegularGrid, cfg: EvalConfig) -> Callable:
             theta_360, phi_360, 0.0, cfg.src_pt, cfg.img_width, cfg.img_height,
             cfg.focal_length,
         )
-        return np.asarray(render_drr(volume, o, d, depths, "ct"))
+        mode = "sdf" if cfg.data_name != "ct" else "ct"
+        return np.asarray(render_drr(volume, o, d, depths, mode))
 
     return gt
 

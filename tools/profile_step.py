@@ -39,6 +39,24 @@ def timeit(fn, *args, warmup=2, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_on_device(body, n_inner=50, warmup=1, iters=4):
+    """Time ``body(i) -> scalar`` by scanning n_inner iterations inside ONE
+    jitted dispatch — per-call tunnel latency would otherwise swamp any
+    stage under ~10ms. ``body`` must consume ``i`` (e.g. perturb an input)
+    so XLA cannot hoist it out of the loop."""
+    run = jax.jit(
+        lambda: jax.lax.fori_loop(
+            0, n_inner, lambda i, acc: acc + body(i), jnp.float32(0.0)
+        )
+    )
+    for _ in range(warmup):
+        run().block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run().block_until_ready()
+    return (time.perf_counter() - t0) / (iters * n_inner)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="lattice")
@@ -97,29 +115,68 @@ def main():
             g, o, d, n, near, far,
             compact_k=args.k if args.mode == "lattice" else None,
             occ_stride=stride))
-    results["march_ms"] = timeit(march, state.grid) * 1e3
+    print("stage: march", file=sys.stderr)
+    grid = state.grid
+    if args.mode == "window":
+        march_i = lambda i: jnp.sum(march_rays_window(
+            grid, o + i * 1e-6, d, n, near, far, k=args.k,
+            aabb_extent=2 * cfg.outside).mask)
+    else:
+        march_i = lambda i: jnp.sum(march_rays(
+            grid, o + i * 1e-6, d, n, near, far,
+            compact_k=args.k if args.mode == "lattice" else None,
+            occ_stride=stride).mask)
+    results["march_ms"] = timeit_on_device(march_i) * 1e3
     m = march(state.grid)
     pts = m.positions.reshape(-1, 3)
 
     # --- MLP on the compacted points ---
     fwd = jax.jit(lambda p, x: density_raw(model, p, x, 0.0, cfg.mlp_backend))
-    results["mlp_fwd_ms"] = timeit(fwd, state.params, pts) * 1e3
+    print("stage: mlp_fwd", file=sys.stderr)
+    params = state.params
+    results["mlp_fwd_ms"] = timeit_on_device(
+        lambda i: jnp.sum(density_raw(model, params, pts + i * 1e-6, 0.0,
+                                      cfg.mlp_backend)), n_inner=30) * 1e3
 
     def loss(p, x):
         return jnp.sum(density_raw(model, p, x, 0.0, cfg.mlp_backend))
 
     g = jax.jit(jax.grad(loss))
-    results["mlp_fwdbwd_ms"] = timeit(g, state.params, pts) * 1e3
+    print("stage: mlp_fwdbwd", file=sys.stderr)
+    grad_sum = lambda be: lambda i: jax.tree.reduce(
+        lambda a, x: a + jnp.sum(x),
+        jax.grad(lambda p: jnp.sum(density_raw(model, p, pts + i * 1e-6,
+                                               0.0, be)))(params),
+        jnp.float32(0.0))
+    results["mlp_fwdbwd_ms"] = timeit_on_device(grad_sum(cfg.mlp_backend), n_inner=30) * 1e3
 
     fwd_x = jax.jit(lambda p, x: density_raw(model, p, x, 0.0, "xla"))
-    results["mlp_fwd_xla_ms"] = timeit(fwd_x, state.params, pts) * 1e3
+    print("stage: mlp_fwd_xla", file=sys.stderr)
+    results["mlp_fwd_xla_ms"] = timeit_on_device(
+        lambda i: jnp.sum(density_raw(model, params, pts + i * 1e-6, 0.0,
+                                      "xla")), n_inner=30) * 1e3
     gx = jax.jit(jax.grad(lambda p, x: jnp.sum(density_raw(model, p, x, 0.0, "xla"))))
-    results["mlp_fwdbwd_xla_ms"] = timeit(gx, state.params, pts) * 1e3
+    print("stage: mlp_fwdbwd_xla", file=sys.stderr)
+    results["mlp_fwdbwd_xla_ms"] = timeit_on_device(grad_sum("xla"), n_inner=30) * 1e3
+
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in results.items()}), file=sys.stderr)
 
     # --- full step ---
     use_cfg = cfg if args.mode != "dense" else dense_cfg
     step = make_train_step(model, use_cfg, near, far)
-    results["full_step_ms"] = timeit(lambda s: step(s, ds.rays)[0], state) * 1e3
+    print("stage: full_step", file=sys.stderr)
+    # the jitted step donates its state — thread it instead of reusing
+    st = state
+    for _ in range(3):  # compile + warm
+        st, *_ = step(st, ds.rays)
+    jax.block_until_ready(st.params)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, *_ = step(st, ds.rays)
+    jax.block_until_ready(st.params)
+    results["full_step_ms"] = (time.perf_counter() - t0) / iters * 1e3
     results["rays_per_sec"] = cfg.img_sample_size / (results["full_step_ms"] / 1e3)
 
     # --- MFU accounting ---
