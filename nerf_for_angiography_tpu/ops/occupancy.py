@@ -218,38 +218,24 @@ def window_probe_stride(
     return max(1, min(n_samples, int(2.0 * cell / step) - 1))
 
 
-def march_rays_window(
+def coarse_window(
     grid: OccupancyGrid,
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     n_samples: int,
     near: float,
     far: float,
-    k: int,
     coarse_factor: int | None = None,
     aabb_extent: float | None = None,
-) -> MarchedRays:
-    """Contiguous-window grid-pruned marching: k consecutive samples of the
-    reference lattice starting at each ray's first occupied region.
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-ray conservative active sample-index window from the dilated
+    coarse bit-packed grid -> (start_idx, end_idx, any_hit), each (R,).
 
-    TPU-first redesign of the compacted lattice march (march_rays with
-    compact_k): instead of querying the fine grid at ~n_samples/stride
-    probes and top-k-compacting 300 -> k per ray (gathers + one-hot
-    matmuls), probe a DILATED 4x-coarser grid at ~n_samples/16 probes
-    (a 32^3 grid bit-packs to 4 KB — gathers hit a cache-resident table),
-    take the first..last probe hits as a conservative sample-index window,
-    and emit the k-sample lattice window starting there. Positions stay an
-    affine function of the window start — zero gathers end to end.
-
-    Superset semantics: every sample the exact march keeps inside the
-    window is kept here (same lattice); gap samples between occupied
-    segments are ALSO kept and composited with their true (trained ~zero)
-    density, which only improves the quadrature vs nerfacc's hard pruning
-    (nerf_helpers_acc.py:10-31). Rays whose active span exceeds k lose the
-    farthest samples — identical to the compact_k path's truncation.
-    Rays with no probe hit render fully transparent (pixel = 1), matching
-    an all-masked lattice.
-    """
+    Every active fine sample of the exact march lies in [start, end] (the
+    dilation + probe-stride guarantee documented at coarse_dilated_bits /
+    window_probe_stride). The 4 KB table makes the ~n_samples/16 probe
+    gathers cache-resident — this is the cheap first level of the
+    window/hybrid marches."""
     res = grid.resolution
     if coarse_factor is None:
         # target a ~32^3 coarse grid (4 KB bit-packed); smaller grids keep
@@ -294,6 +280,46 @@ def march_rays_window(
         last_p >= n_probe - 1, n_samples - 1,
         jnp.minimum(end_raw, n_samples - 1),
     )
+    return start_idx, end_idx, any_hit
+
+
+def march_rays_window(
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    n_samples: int,
+    near: float,
+    far: float,
+    k: int,
+    coarse_factor: int | None = None,
+    aabb_extent: float | None = None,
+) -> MarchedRays:
+    """Contiguous-window grid-pruned marching: k consecutive samples of the
+    reference lattice starting at each ray's first occupied region.
+
+    TPU-first redesign of the compacted lattice march (march_rays with
+    compact_k): instead of querying the fine grid at ~n_samples/stride
+    probes and top-k-compacting 300 -> k per ray (gathers + one-hot
+    matmuls), probe a DILATED 4x-coarser grid at ~n_samples/16 probes
+    (a 32^3 grid bit-packs to 4 KB — gathers hit a cache-resident table),
+    take the first..last probe hits as a conservative sample-index window,
+    and emit the k-sample lattice window starting there. Positions stay an
+    affine function of the window start — zero gathers end to end.
+
+    Superset semantics: every sample the exact march keeps inside the
+    window is kept here (same lattice); gap samples between occupied
+    segments are ALSO kept and composited with their true (trained ~zero)
+    density, which only improves the quadrature vs nerfacc's hard pruning
+    (nerf_helpers_acc.py:10-31). Rays whose active span exceeds k lose the
+    farthest samples — identical to the compact_k path's truncation.
+    Rays with no probe hit render fully transparent (pixel = 1), matching
+    an all-masked lattice.
+    """
+    start_idx, end_idx, any_hit = coarse_window(
+        grid, origins, directions, n_samples, near, far,
+        coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+    )
+    step = (far - near) / n_samples
     w = jnp.clip(start_idx, 0, max(n_samples - k, 0))  # (R,)
 
     sel = w[..., None] + jnp.arange(k, dtype=jnp.int32)  # (R, k)
@@ -448,6 +474,103 @@ def march_rays(
 
     sel_f = sel.astype(jnp.float32)
     t_starts_k = near + sel_f * step
+    t_ends_k = t_starts_k + step
+    t_mid_k = t_starts_k + step / 2.0
+    positions_k = (
+        origins[..., None, :] + directions[..., None, :] * t_mid_k[..., None]
+    )
+    return MarchedRays(
+        t_starts=t_starts_k, t_ends=t_ends_k, positions=positions_k, mask=mask_k
+    )
+
+
+def hybrid_w_cap(k: int, n_samples: int) -> int:
+    """Candidate-window width for the hybrid march: twice the compaction
+    budget, floored at 160 so a modest k still covers multi-branch spans
+    (the flagship bench measures span 157 at active width 69)."""
+    return min(n_samples, max(2 * k, 160))
+
+
+def march_rays_hybrid(
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    n_samples: int,
+    near: float,
+    far: float,
+    k: int,
+    w_cap: int | None = None,
+    occ_stride: int = 1,
+    coarse_factor: int | None = None,
+    aabb_extent: float | None = None,
+) -> MarchedRays:
+    """Two-level windowed-lattice march: coarse window + fine top-k inside.
+
+    The lattice march's profiled cost is the fine-grid occupancy query —
+    XLA's serialized TPU gather at ~3.5 ns/row makes ~n_samples/occ_stride
+    probes per ray the bill (2.93 of a 5.78 ms flagship step). Level 1
+    locates each ray's conservative active window with ~n/16 probes of the
+    4 KB coarse dilated table (coarse_window); level 2 runs the EXACT
+    strided fine query + top-k compaction of march_rays, but only over the
+    w_cap lattice samples starting at the window — w_cap/occ_stride fine
+    probes instead of n_samples/occ_stride, and a (k, w_cap) one-hot
+    instead of (k, n_samples). Candidate positions stay affine in the
+    window start; only the packed-row gathers touch memory dynamically.
+
+    Semantics: identical masking to march_rays within the window (fine
+    query is authoritative — no window false-actives); active samples
+    beyond start+w_cap are truncated, the same class of loss as
+    compact_k's k-truncation. choose_compact_mode only engages this mode
+    when the measured span fits w_cap and the active count fits k.
+    """
+    if w_cap is None:
+        w_cap = hybrid_w_cap(k, n_samples)
+    w_cap = min(w_cap, n_samples)
+    start_idx, _, any_hit = coarse_window(
+        grid, origins, directions, n_samples, near, far,
+        coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+    )
+    step = (far - near) / n_samples
+    w = jnp.clip(start_idx, 0, max(n_samples - w_cap, 0))  # (R,)
+
+    rel = jnp.arange(w_cap, dtype=jnp.int32)
+    abs_idx = w[..., None] + rel  # (R, w_cap)
+    t_mid = near + (abs_idx.astype(jnp.float32) + 0.5) * step
+    positions = origins[..., None, :] + directions[..., None, :] * t_mid[..., None]
+
+    t_enter, t_exit = ray_aabb_intersect(grid.aabb, origins, directions)
+    in_box = (t_mid >= t_enter[..., None]) & (t_mid <= t_exit[..., None])
+    if occ_stride > 1:
+        # strided probe + bracketing-probe union, exactly as march_rays
+        probe_pos = positions[..., ::occ_stride, :]
+        occ_p = query_occ(grid, probe_pos)
+        left = jnp.repeat(occ_p, occ_stride, axis=-1)[..., :w_cap]
+        occ_next = jnp.concatenate([occ_p[..., 1:], occ_p[..., -1:]], axis=-1)
+        right = jnp.repeat(occ_next, occ_stride, axis=-1)[..., :w_cap]
+        occupied = left | right
+    else:
+        occupied = query_occ(grid, positions)
+    mask = (in_box & occupied & any_hit[..., None]).astype(jnp.float32)
+
+    # top-k over the w_cap candidates (first-k-active, as march_rays)
+    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    score = mask * (2 * w_cap - order).astype(jnp.float32)
+    _, sel = jax.lax.top_k(score, k)
+    sel = jnp.sort(sel, axis=-1)  # (R, k) relative
+
+    onehot = (
+        sel[..., :, None]
+        == jax.lax.broadcasted_iota(
+            jnp.int32, sel.shape[:-1] + (k, w_cap), sel.ndim
+        )
+    ).astype(jnp.bfloat16)
+    mask_k = jnp.einsum(
+        "rks,rs->rk", onehot, mask.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    abs_sel = (w[..., None] + sel).astype(jnp.float32)
+    t_starts_k = near + abs_sel * step
     t_ends_k = t_starts_k + step
     t_mid_k = t_starts_k + step / 2.0
     positions_k = (

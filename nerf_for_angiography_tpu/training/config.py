@@ -74,8 +74,13 @@ class TrainConfig:
     # 'window' = contiguous k-sample lattice window located by ~19 probes
     #   of a dilated 4x-coarser grid (ops/occupancy.py::march_rays_window;
     #   zero gathers, superset semantics);
+    # 'hybrid' = coarse window + exact strided fine query + top-k INSIDE a
+    #   w_cap window (march_rays_hybrid — halves the gather-bound fine
+    #   query, handles multi-branch spans the window mode cannot);
     # 'lattice' = per-sample fine-grid query + top-k compaction
     #   (march_rays compact_k — nerfacc-strict masking).
+    # The training loop auto-falls back window -> hybrid -> lattice by the
+    # measured lossless width (choose_compact_mode).
     march_mode: str = "window"
 
     # positional encoding / BARF (run_nerf_acc.py:160-167)
@@ -192,7 +197,7 @@ def parse_train_args(argv=None) -> TrainConfig:
     )
     p.add_argument("--pose_lr", default=None, help="pose-shift Adam lr")
     p.add_argument(
-        "--march_mode", default=None, choices=["window", "lattice"],
+        "--march_mode", default=None, choices=["window", "hybrid", "lattice"],
         help="compacted-march strategy (auto-falls back window->lattice)",
     )
     p.add_argument(

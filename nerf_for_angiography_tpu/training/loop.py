@@ -208,30 +208,41 @@ def train(
                         )
             elif want_compact and using_compact:
                 # the grid keeps evolving (EMA decay + re-threshold can add
-                # cells back): re-measure the lossless width and regrow k
-                # before truncation can bias training
-                from .train import compact_k_for, compact_switch_width
+                # cells back): re-pick the mode and regrow k before
+                # truncation can bias training; revert to the dense stepper
+                # if no compacted mode fits any more
+                from .train import choose_compact_mode, compact_k_for
 
-                width = compact_switch_width(
-                    cfg, state.grid, test.origins, test.directions, near, far,
-                    mode=compact_mode,
+                choice = choose_compact_mode(
+                    cfg, state.grid, test.origins, test.directions, near, far
                 )
-                if width > int(0.93 * compact_k) and compact_k < cfg.compact_samples:
-                    compact_k = compact_k_for(width, cfg)
-                    compact_step = make_train_step(
-                        model,
-                        dataclasses.replace(
-                            cfg, march_mode=compact_mode,
-                            compact_samples=compact_k,
-                        ),
-                        near, far,
-                        num_images=n_views - 1, rays_per_image=rays_per_view,
-                    )
+                if choice is None:
+                    using_compact = False
                     if verbose:
                         print(
-                            f"regrowing compacted stepper at iter {n_iter} "
-                            f"(width {width} -> k={compact_k})"
+                            f"reverting to dense stepper at iter {n_iter} "
+                            "(no compacted mode fits the evolved grid)"
                         )
+                else:
+                    mode2, width2 = choice
+                    k2 = compact_k_for(width2, cfg)
+                    if mode2 != compact_mode or k2 > compact_k:
+                        compact_mode, compact_k = mode2, k2
+                        compact_step = make_train_step(
+                            model,
+                            dataclasses.replace(
+                                cfg, march_mode=compact_mode,
+                                compact_samples=compact_k,
+                            ),
+                            near, far,
+                            num_images=n_views - 1, rays_per_image=rays_per_view,
+                        )
+                        if verbose:
+                            print(
+                                f"retuning compacted stepper at iter {n_iter} "
+                                f"(march_mode={compact_mode}, width {width2} "
+                                f"-> k={compact_k})"
+                            )
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
             vessel_psnr = float(test_metrics["psnr/vessel-test-coarse"])

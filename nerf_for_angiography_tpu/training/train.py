@@ -28,9 +28,12 @@ import optax
 from ..models import CPPN, barf_alpha_schedule, init_cppn
 from ..ops.occupancy import (
     OccupancyGrid,
+    coarse_window,
     create_grid,
     every_n_step,
+    hybrid_w_cap,
     march_rays,
+    march_rays_hybrid,
     march_rays_window,
     prune_mask,
     safe_occ_stride,
@@ -235,6 +238,15 @@ def _march_for(
             grid, origins, directions, cfg.depth_samples_per_ray, near, far,
             k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
         )
+    if compacting and cfg.march_mode == "hybrid":
+        return march_rays_hybrid(
+            grid, origins, directions, cfg.depth_samples_per_ray, near, far,
+            k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
+            occ_stride=safe_occ_stride(
+                cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
+                2 * cfg.outside, cfg.grid_resolution,
+            ),
+        )
     return march_rays(
         grid, origins, directions, cfg.depth_samples_per_ray, near, far,
         compact_k=cfg.compact_samples if compacting else None,
@@ -261,23 +273,37 @@ def compact_switch_width(
     'lattice' mode keeps the first k ACTIVE samples: width = max active
     count. 'window' mode keeps k CONSECUTIVE samples from the conservative
     window start: width = max over rays of (last active - window start + 1).
+    'hybrid' keeps k active samples within a w_cap window: width = max
+    active count when every ray's window span fits hybrid_w_cap (at the k
+    that active count implies), else n_samples (never engages).
     """
     mode = cfg.march_mode if mode is None else mode
-    probe = march_rays(
-        grid, origins, directions, cfg.depth_samples_per_ray, near, far
-    )
+    n = cfg.depth_samples_per_ray
+    probe = march_rays(grid, origins, directions, n, near, far)
     dm = np.asarray(probe.mask) > 0
-    if mode != "window":
-        return int(dm.sum(-1).max())
-    mw = march_rays_window(
-        grid, origins, directions, cfg.depth_samples_per_ray, near, far,
-        k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
-    )
-    step_sz = (far - near) / cfg.depth_samples_per_ray
-    w0 = np.round((np.asarray(mw.t_starts[:, 0]) - near) / step_sz).astype(np.int64)
+    ac = int(dm.sum(-1).max())
+    if mode == "lattice":
+        return ac
     has = dm.any(-1)
     last = dm.shape[-1] - 1 - np.argmax(dm[:, ::-1], -1)
-    return int(np.where(has, last - w0 + 1, 0).max())
+    if mode == "window":
+        mw = march_rays_window(
+            grid, origins, directions, n, near, far,
+            k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
+        )
+        step_sz = (far - near) / n
+        w0 = np.round(
+            (np.asarray(mw.t_starts[:, 0]) - near) / step_sz
+        ).astype(np.int64)
+        return int(np.where(has, last - w0 + 1, 0).max())
+    # hybrid: span measured from the w_cap-clamped window start
+    start, _, _ = coarse_window(
+        grid, origins, directions, n, near, far, aabb_extent=2 * cfg.outside
+    )
+    wcap = hybrid_w_cap(compact_k_for(ac, cfg), n)
+    w0 = np.clip(np.asarray(start), 0, max(n - wcap, 0))
+    span = int(np.where(has, last - w0 + 1, 0).max())
+    return ac if span <= wcap else n
 
 
 def choose_compact_mode(
@@ -300,9 +326,11 @@ def choose_compact_mode(
     if not (0 < cfg.compact_samples < cfg.depth_samples_per_ray):
         return None
     budget = int(0.9 * cfg.compact_samples)
-    modes = (
-        ("window", "lattice") if cfg.march_mode == "window" else (cfg.march_mode,)
-    )
+    chains = {
+        "window": ("window", "hybrid", "lattice"),
+        "hybrid": ("hybrid", "lattice"),
+    }
+    modes = chains.get(cfg.march_mode, (cfg.march_mode,))
     for mode in modes:
         w = compact_switch_width(cfg, grid, origins, directions, near, far, mode)
         if w <= budget:

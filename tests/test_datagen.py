@@ -275,3 +275,36 @@ def test_proj_images_roundtrip_from_csv(tmp_path):
     imgs, wmaps = proj_images_from_csv(p)
     np.testing.assert_allclose(imgs, ds.images, atol=1e-6)
     np.testing.assert_allclose(wmaps, ds.weight_maps, atol=1e-6)
+
+
+def test_lca_phantom_pipeline():
+    """The analytic LCA SDF phantom (phantom:lca) drives the full SDF
+    pipeline without assets: rev_sigmoid-transferred capsule-tree volume ->
+    mode='sdf' DRRs -> sweep GT via gt_from_volume(lca_eval_config) with
+    the SDF render mode (no dist scaling, helpers.py:213)."""
+    from nerf_for_angiography_tpu.data import make_lca_sdf_volume
+    from nerf_for_angiography_tpu.data.datasets import sdf_datagen_config
+    from nerf_for_angiography_tpu.evaluation import gt_from_volume, lca_eval_config
+
+    vol = make_lca_sdf_volume(res=32)
+    # vessel interior ~1, background ~0 after the transfer
+    assert float(vol.values.max()) > 0.95
+    assert float(vol.values.min()) < 1e-3
+
+    cfg = sdf_datagen_config(
+        limited_size=20.0, number_angles=2.0, img_width=12, img_height=12,
+        stratified_depths=False,
+    )
+    ds = generate_dataset(vol, cfg, jax.random.PRNGKey(0))
+    assert ds.images.shape == (10, 12, 12)
+    # per-image normalization (sdftoray.py:125-127) -> every view peaks at 1
+    np.testing.assert_allclose(ds.images.max(axis=(1, 2)), 1.0, atol=1e-5)
+    # vessels must actually project (attenuation -> dark pixels somewhere)
+    assert float(ds.images.min()) < 0.9
+
+    ecfg = lca_eval_config(img_width=12, img_height=12,
+                           depth_samples_per_ray=64)
+    gt = gt_from_volume(vol, ecfg)
+    img = gt(0.0, 0.0)
+    assert img.shape == (12, 12)
+    assert np.isfinite(img).all() and float(img.min()) < 1.0

@@ -440,3 +440,112 @@ def test_window_march_is_jittable():
     assert m.positions.shape == (32, 96, 3)
     m2 = march_rays_window(g, o, d, 300, 1400.0, 1600.0, k=96, aabb_extent=200.0)
     np.testing.assert_allclose(np.asarray(m.mask), np.asarray(m2.mask))
+
+
+# ---------------------------------------------------------------------------
+# hybrid marching (march_rays_hybrid — coarse window + fine top-k inside)
+# ---------------------------------------------------------------------------
+
+from nerf_for_angiography_tpu.ops import (  # noqa: E402
+    hybrid_w_cap,
+    march_rays_hybrid,
+)
+
+
+def test_hybrid_march_render_equals_lattice_compact():
+    """With spans inside w_cap and active counts inside k, the hybrid march
+    keeps EXACTLY the samples the lattice top-k keeps: renders match."""
+    for res, radius in [(64, 20.0), (128, 30.0)]:
+        g = create_grid(AABB, res)
+        g = update_grid(g, lambda p: sphere_sigma(p, radius), occ_thre=1e-4)
+        o, d = _rand_rays(jax.random.PRNGKey(res + 1), 128)
+        near, far, n, k = 1400.0, 1600.0, 300, 96
+        lat = march_rays(g, o, d, n, near, far, compact_k=k)
+        hyb = march_rays_hybrid(g, o, d, n, near, far, k=k, aabb_extent=200.0)
+        field = lambda p: sphere_sigma(p, radius=radius - 2.0, value=0.4)  # noqa: E731
+        dt = (far - near) / n
+        px_l = np.asarray(jnp.exp(-jnp.sum(field(lat.positions) * lat.mask * dt, -1)))
+        px_h = np.asarray(jnp.exp(-jnp.sum(field(hyb.positions) * hyb.mask * dt, -1)))
+        np.testing.assert_allclose(px_h, px_l, atol=1e-5, err_msg=f"res={res}")
+        # active sample sets are identical (mask-weighted t_starts agree)
+        np.testing.assert_allclose(
+            np.asarray(jnp.sort(hyb.t_starts * hyb.mask, axis=-1)),
+            np.asarray(jnp.sort(lat.t_starts * lat.mask, axis=-1)),
+            atol=1e-4,
+        )
+
+
+def test_hybrid_march_strided_is_superset():
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(5), 96)
+    near, far, n, k = 1400.0, 1600.0, 300, 96
+    exact = march_rays_hybrid(g, o, d, n, near, far, k=k, aabb_extent=200.0)
+    strided = march_rays_hybrid(
+        g, o, d, n, near, far, k=k, occ_stride=2, aabb_extent=200.0
+    )
+    # every exact-active t must appear active in the strided variant
+    for r in range(96):
+        te = np.asarray(exact.t_starts[r])[np.asarray(exact.mask[r]) > 0]
+        ts = set(np.round(
+            np.asarray(strided.t_starts[r])[np.asarray(strided.mask[r]) > 0], 4
+        ))
+        missing = [t for t in np.round(te, 4) if t not in ts]
+        assert not missing, (r, missing)
+
+
+def test_hybrid_march_miss_rays_fully_masked():
+    g = _sphere_grid(res=32)
+    o = jnp.array([[200.0, 95.0, 95.0]])
+    d = jnp.array([[-1.0, 0.0, 0.0]])
+    m = march_rays_hybrid(g, o, d, 200, 90.0, 310.0, k=64, aabb_extent=200.0)
+    assert float(m.mask.sum()) == 0.0
+
+
+def test_hybrid_march_jittable_and_shapes():
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(9), 32)
+    f = jax.jit(lambda g, o, d: march_rays_hybrid(
+        g, o, d, 300, 1400.0, 1600.0, k=80, occ_stride=2, aabb_extent=200.0))
+    m = f(g, o, d)
+    assert m.positions.shape == (32, 80, 3)
+    m2 = march_rays_hybrid(
+        g, o, d, 300, 1400.0, 1600.0, k=80, occ_stride=2, aabb_extent=200.0
+    )
+    np.testing.assert_allclose(np.asarray(m.mask), np.asarray(m2.mask))
+
+
+def test_hybrid_w_cap_rule():
+    assert hybrid_w_cap(80, 300) == 160
+    assert hybrid_w_cap(96, 300) == 192
+    assert hybrid_w_cap(40, 300) == 160
+    assert hybrid_w_cap(96, 128) == 128  # capped at the lattice
+
+
+def test_choose_compact_mode_falls_back_through_chain():
+    """A two-blob grid whose span exceeds both k and w_cap coverage at the
+    window mode must fall through to hybrid or lattice."""
+    from nerf_for_angiography_tpu.training.train import choose_compact_mode
+    from nerf_for_angiography_tpu.training import TrainConfig
+
+    g = create_grid(AABB, 64)
+
+    def two_blobs(p):
+        a = jnp.linalg.norm(p - jnp.array([0.0, 0.0, 60.0]), axis=-1) < 12.0
+        b = jnp.linalg.norm(p + jnp.array([0.0, 0.0, 60.0]), axis=-1) < 12.0
+        return jnp.where(a | b, 0.9, 0.0)
+
+    g = update_grid(g, two_blobs, occ_thre=1e-4)
+    # rays along z cross both blobs: active span ~180 units >> active count
+    o = jnp.tile(jnp.array([[3.0, 2.0, 1500.0]]), (16, 1))
+    jitter = jax.random.normal(jax.random.PRNGKey(0), (16, 3)) * 2.0
+    d = jnp.array([0.0, 0.0, -1.0]) + jitter * 1e-3
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    cfg = TrainConfig(
+        depth_samples_per_ray=300, compact_samples=96, outside=100.0,
+        grid_resolution=64, march_mode="window",
+    )
+    choice = choose_compact_mode(cfg, g, o, d, 1400.0, 1600.0)
+    assert choice is not None
+    mode, width = choice
+    assert mode in ("hybrid", "lattice")  # window span ~270 cannot fit 96
+    assert width <= int(0.9 * 96)
