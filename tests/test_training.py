@@ -421,3 +421,53 @@ def test_classic_viewdirs_barf_training(sphere_data):
     # both schedules ramp from 0 to their basis by barf_stop=30 < 40 steps
     assert alphas[0] < 1.0 and alphas[-1] == cfg.pos_enc_basis
     assert alphas_v[0] < 1.0 and alphas_v[-1] == cfg.pos_enc_basis_views
+
+
+def test_compacted_stepper_reverts_to_dense(sphere_data, capsys, monkeypatch):
+    """If the evolved grid stops fitting any compacted mode, the loop must
+    revert to the dense stepper instead of silently truncating."""
+    import importlib
+
+    from nerf_for_angiography_tpu.ops.occupancy import update_grid
+    from nerf_for_angiography_tpu.training import loop as loop_mod
+
+    # training.train the MODULE (the package re-exports train() the function
+    # under the same name)
+    train_mod = importlib.import_module("nerf_for_angiography_tpu.training.train")
+
+    calls = {"n": 0}
+    real_choose = train_mod.choose_compact_mode
+
+    def flaky_choose(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real_choose(*a, **kw)  # engage normally
+        return None  # then: nothing fits any more
+
+    monkeypatch.setattr(loop_mod, "choose_compact_mode", flaky_choose, raising=False)
+    # loop imports inside the function body -> patch the source module
+    monkeypatch.setattr(train_mod, "choose_compact_mode", flaky_choose)
+
+    cfg = tiny_cfg(
+        n_iters=100, display_every=25, compact_samples=24,
+        grid_resolution=16, coarse_lr=5e-3, grid_update_every=100_000,
+    )
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    def sphere_sigma(points, radius=35.0):
+        return jnp.where(jnp.linalg.norm(points, axis=-1) < radius, 0.9, 0.0)
+
+    pruned = update_grid(state.grid, sphere_sigma, occ_thre=1e-4)
+    state = state._replace(
+        grid=pruned,
+        vessel_grid=jax.tree.map(lambda x: jnp.array(x, copy=True), pruned),
+        step=jnp.int32(1),
+    )
+    result = train(
+        cfg, sphere_data.rays, src_pt_z=1500.0, verbose=True,
+        initial_state=state,
+    )
+    out = capsys.readouterr().out
+    assert "switching to compacted stepper" in out
+    assert "reverting to dense stepper" in out
+    assert np.isfinite(result.last_psnr)
