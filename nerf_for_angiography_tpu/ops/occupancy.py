@@ -36,15 +36,38 @@ class OccupancyGrid(NamedTuple):
     occs:   float32 (res, res, res) EMA of density per cell
     binary: bool    (res, res, res) occupied mask
     aabb:   float32 (6,) [xmin, ymin, zmin, xmax, ymax, zmax]
+    packed:        uint32 (res*res, words) bit-packed binary (z on bits) —
+                   cached because packing the 128^3 grid costs ~1.1 ms/step
+                   on v5e while the grid only changes every 16 steps
+    packed_coarse: uint32 (cres*cres, words) bit-packed DILATED coarse grid
+                   (coarse_dilated_bits at factor res//32) — ~0.9 ms/step
+                   cached for the window/hybrid marches
+
+    The packed fields may be None (legacy constructors / hand-built test
+    grids); every consumer falls back to packing on the fly.
     """
 
     occs: jnp.ndarray
     binary: jnp.ndarray
     aabb: jnp.ndarray
+    packed: jnp.ndarray | None = None
+    packed_coarse: jnp.ndarray | None = None
 
     @property
     def resolution(self) -> int:
         return self.occs.shape[0]
+
+    @property
+    def coarse_factor(self) -> int:
+        """The factor packed_coarse is (and marches are) built at."""
+        return max(1, self.resolution // 32)
+
+
+def with_packed(grid: OccupancyGrid) -> OccupancyGrid:
+    """Populate the cached bit-packed tables from grid.binary."""
+    packed = pack_grid_bits(grid.binary)
+    packed_coarse, _ = coarse_dilated_bits(grid.binary, grid.coarse_factor)
+    return grid._replace(packed=packed, packed_coarse=packed_coarse)
 
 
 def create_grid(aabb, resolution: int = 128) -> OccupancyGrid:
@@ -52,11 +75,11 @@ def create_grid(aabb, resolution: int = 128) -> OccupancyGrid:
     start: an empty grid would kill all gradients on step 0)."""
     aabb = jnp.asarray(aabb, jnp.float32)
     shape = (resolution, resolution, resolution)
-    return OccupancyGrid(
+    return with_packed(OccupancyGrid(
         occs=jnp.zeros(shape, jnp.float32),
         binary=jnp.ones(shape, bool),
         aabb=aabb,
-    )
+    ))
 
 
 def cell_centers(grid: OccupancyGrid) -> jnp.ndarray:
@@ -95,7 +118,9 @@ def update_grid(
     sigma = sigma_fn(pts).reshape(res, res, res)
     occs = jnp.maximum(grid.occs * ema_decay, sigma)
     thresh = jnp.minimum(jnp.mean(occs), occ_thre)
-    return OccupancyGrid(occs=occs, binary=occs > thresh, aabb=grid.aabb)
+    return with_packed(
+        OccupancyGrid(occs=occs, binary=occs > thresh, aabb=grid.aabb)
+    )
 
 
 def every_n_step(
@@ -108,6 +133,10 @@ def every_n_step(
 ) -> OccupancyGrid:
     """jit-safe "update every n steps" gate (lax.cond on step % n).
     Ref: nerfacc every_n_step via nerf_helpers_acc.py:65-78."""
+    if grid.packed is None:
+        # both cond branches must return one pytree structure, and the
+        # update branch populates the packed caches
+        grid = with_packed(grid)
     do = (step % n) == 0
     return jax.lax.cond(
         do,
@@ -172,7 +201,9 @@ def query_occ(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
         post-gather one-hot select and the gathered intermediate 32x.
         Packing itself is a cheap dense pass (~2M bit-ops) fused by XLA.
     """
-    packed = pack_grid_bits(grid.binary)  # (res*res, words)
+    packed = grid.packed
+    if packed is None:  # legacy / hand-built grid: pack on the fly
+        packed = pack_grid_bits(grid.binary)  # (res*res, words)
     return _query_packed_bits(packed, grid.resolution, grid.aabb, points)
 
 
@@ -241,11 +272,14 @@ def coarse_window(
         # target a ~32^3 coarse grid (4 KB bit-packed); smaller grids keep
         # full resolution so the dilation stays one FINE cell wide and the
         # window does not balloon at test/tiny shapes
-        coarse_factor = max(1, res // 32)
+        coarse_factor = grid.coarse_factor
     if res % coarse_factor:
         raise ValueError(f"grid resolution {res} not divisible by {coarse_factor}")
     step = (far - near) / n_samples
-    packed, cres = coarse_dilated_bits(grid.binary, coarse_factor)
+    if grid.packed_coarse is not None and coarse_factor == grid.coarse_factor:
+        packed, cres = grid.packed_coarse, res // coarse_factor
+    else:
+        packed, cres = coarse_dilated_bits(grid.binary, coarse_factor)
     # the probe stride must be static; take the extent from the caller, or
     # from the aabb when it is concrete, else the guaranteed-safe 1-cell
     # fallback (stride such that spacing = one fine cell per coarse cell)

@@ -98,13 +98,15 @@ def load_grid_vtk(path: str, aabb) -> OccupancyGrid:
     """Restore a binary occupancy grid from VTK (visualization.py:158-162)."""
     import jax.numpy as jnp
 
+    from ..ops.occupancy import with_packed
+
     g = read_vtk(path)
     binary = g.scalars_3d("values", cell=True).astype(bool)
-    return OccupancyGrid(
+    return with_packed(OccupancyGrid(
         occs=jnp.asarray(binary, jnp.float32),
         binary=jnp.asarray(binary),
         aabb=jnp.asarray(aabb, jnp.float32),
-    )
+    ))
 
 
 # --- orbax resume state -------------------------------------------------------

@@ -231,24 +231,27 @@ def test_occ_stride_mask_is_superset():
 
 def test_query_occ_matches_direct_indexing():
     """Bit-packed row-gather lookup == direct boolean indexing, across
-    resolutions (incl. res<32 single-word and res=40 ragged-word cases)."""
-    from nerf_for_angiography_tpu.ops.occupancy import world_to_index
+    resolutions (incl. res<32 single-word and res=40 ragged-word cases),
+    via BOTH the cached-packed path (with_packed — mutating binary goes
+    through it) and the pack-on-the-fly fallback (packed=None)."""
+    from nerf_for_angiography_tpu.ops.occupancy import with_packed, world_to_index
 
     key = jax.random.PRNGKey(3)
     for res in (8, 16, 40, 64):
         g = create_grid(AABB, res)
         bits = jax.random.bernoulli(jax.random.fold_in(key, res), 0.3,
                                     (res, res, res))
-        g = g._replace(binary=bits)
+        g = with_packed(g._replace(binary=bits))
+        g_legacy = g._replace(packed=None, packed_coarse=None)
         pts = jax.random.uniform(
             jax.random.fold_in(key, res + 1), (2000, 3), minval=-120.0,
             maxval=120.0,
         )
-        got = np.asarray(query_occ(g, pts))
         idx = np.asarray(world_to_index(g, pts))
         inside = np.all((np.asarray(pts) >= -100.0) & (np.asarray(pts) <= 100.0), -1)
         want = np.asarray(bits)[idx[:, 0], idx[:, 1], idx[:, 2]] & inside
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(np.asarray(query_occ(g, pts)), want)
+        np.testing.assert_array_equal(np.asarray(query_occ(g_legacy, pts)), want)
 
 
 def test_pack_grid_bits_roundtrip():
