@@ -34,6 +34,7 @@ from .train import (
     drop_test_view,
     make_eval_step,
     make_test_view,
+    make_train_chunk,
     make_train_step,
 )
 
@@ -141,8 +142,29 @@ def train(
     # choose_compact_mode selects (window when the active span fits k,
     # lattice-top-k for multi-branch rays whose spans do not)
     compact_step = None
+    compact_chunk = None
     using_compact = False
     want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
+
+    # scan-chunked stepping between logging/display boundaries: one device
+    # dispatch per chunk_c steps instead of per step (through the tunnel a
+    # dispatch costs ~1.3 ms — ~25% of a steady-state step). chunk_c divides
+    # every cadence the loop observes, so behavior at boundaries is
+    # unchanged.
+    import math
+
+    chunk_c = math.gcd(100, cfg.display_every)
+    if checkpoint_every:
+        chunk_c = math.gcd(chunk_c, checkpoint_every)
+    use_chunks = chunk_c > 1
+    train_chunk = (
+        make_train_chunk(
+            model, dense_cfg, near, far, chunk_c,
+            num_images=n_views - 1, rays_per_image=rays_per_view,
+        )
+        if use_chunks
+        else None
+    )
 
     exp_name = datetime.now().astimezone().strftime("%Y-%m-%d-%H%M")
     page_data = build_page_data(cfg, exp_name)
@@ -169,10 +191,23 @@ def train(
     rays_done = 0
 
     n_iter = start_iter
-    for n_iter in range(start_iter, cfg.n_iters + 1):
-        active_step = compact_step if using_compact else train_step
-        state, metrics, pred_pix, target_pix = active_step(state, train_rays)
-        rays_done += cfg.img_sample_size
+    while n_iter <= cfg.n_iters:
+        # run up to (and including) the next boundary iteration — every
+        # cadence the loop observes is a multiple of chunk_c
+        m = min(-(-n_iter // chunk_c) * chunk_c, cfg.n_iters)
+        count = m - n_iter + 1
+        if use_chunks and count == chunk_c:
+            runner = compact_chunk if using_compact else train_chunk
+            state, mstack, pred_pix, target_pix = runner(state, train_rays)
+            metrics = {k: v[-1] for k, v in mstack.items()}
+        else:
+            active_step = compact_step if using_compact else train_step
+            for _ in range(count):
+                state, metrics, pred_pix, target_pix = active_step(
+                    state, train_rays
+                )
+        rays_done += count * cfg.img_sample_size
+        n_iter = m
 
         if logger and n_iter % 100 == 0:
             logger.scalars({k: v for k, v in metrics.items() if k != "barf-coarse"}, n_iter)
@@ -190,15 +225,19 @@ def train(
                 if choice is not None:
                     compact_mode, width = choice
                     compact_k = compact_k_for(width, cfg)
+                    step_cfg = dataclasses.replace(
+                        cfg, march_mode=compact_mode, compact_samples=compact_k
+                    )
                     compact_step = make_train_step(
-                        model,
-                        dataclasses.replace(
-                            cfg, march_mode=compact_mode,
-                            compact_samples=compact_k,
-                        ),
-                        near, far,
+                        model, step_cfg, near, far,
                         num_images=n_views - 1, rays_per_image=rays_per_view,
                     )
+                    if use_chunks:
+                        compact_chunk = make_train_chunk(
+                            model, step_cfg, near, far, chunk_c,
+                            num_images=n_views - 1,
+                            rays_per_image=rays_per_view,
+                        )
                     using_compact = True
                     if verbose:
                         print(
@@ -228,15 +267,20 @@ def train(
                     k2 = compact_k_for(width2, cfg)
                     if mode2 != compact_mode or k2 > compact_k:
                         compact_mode, compact_k = mode2, k2
+                        step_cfg = dataclasses.replace(
+                            cfg, march_mode=compact_mode,
+                            compact_samples=compact_k,
+                        )
                         compact_step = make_train_step(
-                            model,
-                            dataclasses.replace(
-                                cfg, march_mode=compact_mode,
-                                compact_samples=compact_k,
-                            ),
-                            near, far,
+                            model, step_cfg, near, far,
                             num_images=n_views - 1, rays_per_image=rays_per_view,
                         )
+                        if use_chunks:
+                            compact_chunk = make_train_chunk(
+                                model, step_cfg, near, far, chunk_c,
+                                num_images=n_views - 1,
+                                rays_per_image=rays_per_view,
+                            )
                         if verbose:
                             print(
                                 f"retuning compacted stepper at iter {n_iter} "
@@ -313,6 +357,8 @@ def train(
                     print(f"Early stop = {n_iter}")
                 break
 
+        n_iter += 1
+
     elapsed = time.perf_counter() - t_start
     rays_per_sec = rays_done / elapsed if elapsed > 0 else 0.0
 
@@ -325,7 +371,7 @@ def train(
         best_psnr=float(highest_psnr),
         best_iter=int(highest_iter),
         last_psnr=float(last_psnr),
-        iters_run=int(n_iter),
+        iters_run=int(min(n_iter, cfg.n_iters)),
         rays_per_sec=float(rays_per_sec),
         page_data=page_data,
     )
