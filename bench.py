@@ -43,13 +43,22 @@ BASELINE_RAYS_PER_SEC = 93_750.0
 
 def _watchdog(seconds: int = 240):
     """The axon TPU tunnel can wedge (every op blocks forever). Fail loudly
-    instead of hanging the driver."""
+    instead of hanging the driver — and, since the wedge is often transient
+    but latches the in-process backend, re-exec ONE fresh process after a
+    cool-down before giving up."""
 
     def onalarm(signum, frame):
         sys.stderr.write(
             "bench: TPU device did not respond within "
-            f"{seconds}s (axon tunnel wedged?); aborting\n"
+            f"{seconds}s (axon tunnel wedged?)\n"
         )
+        if os.environ.get("BENCH_WEDGE_RETRY") != "1":
+            sys.stderr.write("bench: retrying once in a fresh process...\n")
+            sys.stderr.flush()
+            time.sleep(120)  # give the tunnel a cool-down
+            env = dict(os.environ, BENCH_WEDGE_RETRY="1")
+            os.execve(sys.executable, [sys.executable, __file__], env)
+        sys.stderr.write("bench: still wedged after retry; aborting\n")
         os._exit(1)
 
     signal.signal(signal.SIGALRM, onalarm)
@@ -87,6 +96,9 @@ def main():
     )
     vol = make_vessel_volume(res=96)
     ds = generate_dataset(vol, dcfg)
+    from nerf_for_angiography_tpu.ops.sampling import build_sampling_table
+
+    rays = ds.rays._replace(sampling_table=build_sampling_table(ds.rays.weights))
 
     model, state = create_train_state(cfg, jax.random.PRNGKey(0))
     import dataclasses
@@ -98,13 +110,13 @@ def main():
     # --- phase 1: cold-start dense training until the grid prunes ---
     t0 = time.perf_counter()
     for _ in range(60):  # 3k iterations
-        state, metrics, _, _ = dense_chunk(state, ds.rays)
+        state, metrics, _, _ = dense_chunk(state, rays)
     float(jnp.sum(metrics["loss/train-pixel-coarse"]))
     dense_elapsed = time.perf_counter() - t0
     dense_rate = cfg.img_sample_size * 3000 / dense_elapsed
 
     choice = choose_compact_mode(
-        cfg, state.grid, ds.rays.origins[:20000], ds.rays.directions[:20000],
+        cfg, state.grid, rays.origins[:20000], rays.directions[:20000],
         1400.0, 1600.0,
     )
     sys.stderr.write(
@@ -125,13 +137,13 @@ def main():
     )
     chunk = make_train_chunk(model, use_cfg, 1400.0, 1600.0, steps_per_call)
     for _ in range(2):  # compile + warm
-        state, metrics, _, _ = chunk(state, ds.rays)
+        state, metrics, _, _ = chunk(state, rays)
     float(jnp.sum(metrics["loss/train-pixel-coarse"]))
 
     calls = 10
     t0 = time.perf_counter()
     for _ in range(calls):
-        state, metrics, _, _ = chunk(state, ds.rays)
+        state, metrics, _, _ = chunk(state, rays)
     float(jnp.sum(metrics["loss/train-pixel-coarse"]))
     elapsed = time.perf_counter() - t0
 

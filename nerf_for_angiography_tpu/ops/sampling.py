@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class RayDataset(NamedTuple):
@@ -33,6 +34,9 @@ class RayDataset(NamedTuple):
     image_ids: jnp.ndarray  # (N,) int32 view index
     x_positions: jnp.ndarray  # (N,) int32
     y_positions: jnp.ndarray  # (N,) int32
+    # optional precomputed inverse-CDF table (build_sampling_table) for the
+    # fast 'overdraw' sampler; None -> samplers fall back to exact Gumbel
+    sampling_table: jnp.ndarray | None = None
 
     @property
     def num_rays(self) -> int:
@@ -61,17 +65,76 @@ def gumbel_topk_indices(
     return idx
 
 
+def build_sampling_table(
+    weights: jnp.ndarray, table_size: int = 1 << 18
+) -> jnp.ndarray:
+    """Quantized inverse-CDF table for the fast 'overdraw' sampler.
+
+    table[j] = smallest index i with cdf[i] >= (j + 0.5)/table_size. Built
+    ONCE per dataset (the weight map is static); per-step sampling then
+    costs one gather per draw instead of a cumsum + searchsorted over the
+    whole ray store (a profiled 2.6 ms/step as naive XLA). At the default
+    2^18 entries (1 MB) the quantization bucket is ~1/4 ray at the flagship
+    254k-ray dataset — the per-ray inclusion-probability distortion is
+    below 2/table_size relative.
+    """
+    cdf = jnp.cumsum(weights.astype(jnp.float32))
+    cdf = cdf / cdf[-1]
+    u = (jnp.arange(table_size, dtype=jnp.float32) + 0.5) / table_size
+    return jnp.searchsorted(cdf, u).astype(jnp.int32)
+
+
+def overdraw_sample_indices(
+    key: jax.Array, table: jnp.ndarray, n: int, oversample: float = 1.125
+) -> jnp.ndarray:
+    """Fast approximate weighted sample without replacement of size n.
+
+    Draws ceil(n*oversample) indices WITH replacement through the
+    precomputed inverse-CDF table (build_sampling_table), then drops
+    duplicate indices and keeps the first n unique draws. At the flagship
+    ratio (n=5,625 of 254k rays) the collision rate is ~2%, so dropping
+    duplicates leaves marginal inclusion probabilities within ~1% of the
+    exact successive-draw (Gumbel top-k) distribution while replacing the
+    profiled 1.37 ms full-dataset top_k with ~6k table gathers. If fewer
+    than n draws are unique (astronomically rare), the remainder are
+    duplicates — harmless for SGD.
+
+    Exact pandas-semantics sampling remains available via
+    ``gumbel_topk_indices`` (TrainConfig.sampling_impl='gumbel').
+    """
+    m = int(np.ceil(n * oversample))
+    t = table.shape[0]
+    u = jax.random.randint(key, (m,), 0, t)
+    idx = table[u]
+    sidx = jnp.sort(idx)
+    uniq = jnp.concatenate(
+        [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]]
+    )
+    # keep the first n unique draws: rank by (unique, draw position)
+    score = uniq.astype(jnp.float32) * 2.0 - jnp.arange(m, dtype=jnp.float32) / m
+    _, sel = jax.lax.top_k(score, n)  # top_k over m ~ 6k: cheap
+    return sidx[sel]
+
+
 def sample_pixel_rays(
-    key: jax.Array, data: RayDataset, n: int, weighted: bool = True
+    key: jax.Array, data: RayDataset, n: int, weighted: bool = True,
+    impl: str = "gumbel",
 ) -> RayBatch:
     """Sample n rays from the pixels of ALL training views.
 
     Ref: nerf_helpers.py:137-150 (weights = 'distance_pixel_value').
     The top-k order is already a random permutation of the selected set,
     so the reference's extra ``.sample(frac=1)`` shuffle is subsumed.
+    ``impl``: 'gumbel' = exact successive-draw semantics; 'overdraw' = the
+    fast approximate sampler (overdraw_sample_indices) — requires
+    ``data.sampling_table`` (build_sampling_table of the same weights;
+    only valid for weighted sampling) and falls back to exact otherwise.
     """
     w = data.weights if weighted else jnp.ones_like(data.weights)
-    idx = gumbel_topk_indices(key, w, n)
+    if impl == "overdraw" and weighted and data.sampling_table is not None:
+        idx = overdraw_sample_indices(key, data.sampling_table, n)
+    else:
+        idx = gumbel_topk_indices(key, w, n)
     return RayBatch(
         origins=data.origins[idx],
         directions=data.directions[idx],

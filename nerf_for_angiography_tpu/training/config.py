@@ -116,6 +116,13 @@ class TrainConfig:
     # form from the misaligned views first, then align)
     pose_start: int = 0
 
+    # weighted ray sampler: 'overdraw' = inverse-CDF overdraw + dedupe
+    # (~3x cheaper than the exact sampler — the full-dataset top_k was a
+    # profiled 1.37 ms/step; inclusion probabilities within ~1% at the
+    # flagship overdraw ratio); 'gumbel' = exact pandas successive-draw
+    # semantics (nerf_helpers.py:139) via Gumbel top-k.
+    sampling_impl: str = "overdraw"
+
     # parallelism (no reference counterpart; SURVEY.md §2 parallelism)
     data_axis: str = "data"
 

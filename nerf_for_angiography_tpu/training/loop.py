@@ -121,6 +121,18 @@ def train(
 
         train_rays = shard_leading_axis(train_rays, mesh)
 
+    if cfg.sampling_impl == "overdraw" and cfg.sampling_strategy != "random":
+        # one-time inverse-CDF table for the fast sampler (ops/sampling.py);
+        # replicated — it is a global structure, not per-ray data
+        from ..ops.sampling import build_sampling_table
+
+        table = build_sampling_table(train_rays.weights)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            table = jax.device_put(table, NamedSharding(mesh, PartitionSpec()))
+        train_rays = train_rays._replace(sampling_table=table)
+
     model, state = create_train_state(
         cfg, jax.random.PRNGKey(cfg.seed), num_views=n_views
     )

@@ -86,11 +86,20 @@ def make_test_view(rays: RayDataset, view_index: int, rays_per_view: int) -> Tes
 
 
 def drop_test_view(rays: RayDataset, view_index: int, rays_per_view: int) -> RayDataset:
-    """Training rays = all views except the held-out one."""
+    """Training rays = all views except the held-out one. Any cached
+    sampling table is dropped — it indexes the OLD ray set and must be
+    rebuilt for the reduced one (training/loop.py does)."""
     s = view_index * rays_per_view
     e = s + rays_per_view
     take = lambda a: jnp.concatenate([a[:s], a[e:]], axis=0)  # noqa: E731
-    return RayDataset(*[take(f) for f in rays])
+    per_ray = (
+        "origins", "directions", "pixel_values", "weights", "image_ids",
+        "x_positions", "y_positions",
+    )
+    return RayDataset(
+        **{name: take(getattr(rays, name)) for name in per_ray},
+        sampling_table=None,
+    )
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -481,6 +490,7 @@ def _build_train_step(
             batch = sample_pixel_rays(
                 k_sample, rays, cfg.img_sample_size,
                 weighted=cfg.sampling_strategy != "random",
+                impl=cfg.sampling_impl,
             )
 
         def loss_fn(params):

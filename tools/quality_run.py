@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--march", default=None, help="march_mode override")
     ap.add_argument("--mlp", default=None, help="mlp_backend override")
+    ap.add_argument("--sampling", default=None, help="sampling_impl override")
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--display_every", type=int, default=500)
     args = ap.parse_args()
 
@@ -33,6 +35,10 @@ def main():
         kw["march_mode"] = args.march
     if args.mlp:
         kw["mlp_backend"] = args.mlp
+    if args.sampling:
+        kw["sampling_impl"] = args.sampling
+    if args.seed is not None:
+        kw["seed"] = args.seed
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
