@@ -31,6 +31,7 @@ from ..ops.occupancy import (
     coarse_window,
     create_grid,
     every_n_step,
+    every_n_step_pair,
     hybrid_w_cap,
     march_rays,
     march_rays_hybrid,
@@ -468,14 +469,12 @@ def _build_train_step(
             else 0.0
         )
 
-        # occupancy EMA updates every n steps (run_nerf_acc.py:285-286)
+        # occupancy EMA updates every n steps (run_nerf_acc.py:285-286);
+        # one shared 2M-point sigma pass feeds both grids
         sig = _sigma_fn(model, state.params, barf_alpha, cfg.mlp_backend)
-        grid = every_n_step(
-            state.grid, state.step, sig, cfg.alpha_thre,
-            cfg.grid_update_every, cfg.grid_ema_decay,
-        )
-        vessel_grid = every_n_step(
-            state.vessel_grid, state.step, sig, cfg.vessel_alpha_thre,
+        grid, vessel_grid = every_n_step_pair(
+            state.grid, state.vessel_grid, state.step, sig,
+            cfg.alpha_thre, cfg.vessel_alpha_thre,
             cfg.grid_update_every, cfg.grid_ema_decay,
         )
 

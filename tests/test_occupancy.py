@@ -552,3 +552,23 @@ def test_choose_compact_mode_falls_back_through_chain():
     mode, width = choice
     assert mode in ("hybrid", "lattice")  # window span ~270 cannot fit 96
     assert width <= int(0.9 * 96)
+
+
+def test_update_grid_pair_matches_separate_updates():
+    """One shared sigma pass == two independent update_grid calls
+    (bit-identical binaries and EMAs for both thresholds)."""
+    from nerf_for_angiography_tpu.ops import update_grid_pair
+
+    g = create_grid(AABB, 32)
+    v = jax.tree.map(lambda x: jnp.array(x, copy=True), g)
+    fn = lambda p: sphere_sigma(p, radius=30.0)  # noqa: E731
+    a_sep = update_grid(g, fn, occ_thre=1e-4)
+    b_sep = update_grid(v, fn, occ_thre=5e-2)
+    a_pair, b_pair = update_grid_pair(g, v, fn, 1e-4, 5e-2)
+    np.testing.assert_array_equal(np.asarray(a_pair.binary), np.asarray(a_sep.binary))
+    np.testing.assert_array_equal(np.asarray(b_pair.binary), np.asarray(b_sep.binary))
+    np.testing.assert_allclose(np.asarray(a_pair.occs), np.asarray(a_sep.occs))
+    np.testing.assert_allclose(np.asarray(b_pair.occs), np.asarray(b_sep.occs))
+    np.testing.assert_array_equal(
+        np.asarray(a_pair.packed), np.asarray(a_sep.packed)
+    )
