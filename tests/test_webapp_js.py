@@ -420,3 +420,29 @@ def test_js_save_png_flow(js_modules):
     anchors = [el for el in doc.created[n_created:] if el.tagName == "a"]
     assert anchors and anchors[0].download == "heatmap-PSNR-top.png"
     assert anchors[0].href.startswith("data:image/png")
+
+
+def test_js_slider_updates_state_and_refetches():
+    """Dragging the limited-projections slider updates state from the
+    shipped LIMITED_VALUES table and triggers a refetch with the new
+    experiment name (options.js slider() -> app refresh flow)."""
+    doc = make_app_document()
+    fetched = []
+    it = Interpreter(
+        module_dir=CAG,
+        host=host_globals(doc, make_fetch("/nonexistent", log=fetched)),
+    )
+    it.run_module("app.js")
+    options = doc.getElementById("options")
+    sliders = [el for el in options.walk()
+               if el.tagName == "input" and el.type == "range"]
+    assert len(sliders) == 2  # limited + sparse
+    limited = sliders[0]
+    # LIMITED_VALUES = [5, 15, 30, 45, 60, 90, 180]; default 180 -> index 6
+    assert float(limited.value) == 6.0
+    before = len(fetched)
+    limited.value = 2.0  # -> 30 degrees
+    limited.fire("input")
+    assert any("/30-4-" in u for u in fetched[before:]), fetched[before:]
+    # 404 tree -> graceful error status with the attempted URL
+    assert doc.getElementById("status").textContent.startswith("no data at ")
