@@ -211,6 +211,11 @@ def parse_train_args(argv=None) -> TrainConfig:
         "--mlp_backend", default=None, choices=["auto", "xla", "pallas"],
         help="density-MLP backend (auto = fused Pallas kernel on TPU)",
     )
+    p.add_argument(
+        "--sampling_impl", default=None, choices=["overdraw", "gumbel"],
+        help="weighted ray sampler (overdraw = fast table sampler; "
+        "gumbel = exact pandas successive-draw semantics)",
+    )
     a = p.parse_args(argv)
 
     kw = {}
@@ -246,6 +251,8 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["march_mode"] = a.march_mode
     if a.mlp_backend:
         kw["mlp_backend"] = a.mlp_backend
+    if a.sampling_impl:
+        kw["sampling_impl"] = a.sampling_impl
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 
