@@ -106,14 +106,23 @@ def overdraw_sample_indices(
     t = table.shape[0]
     u = jax.random.randint(key, (m,), 0, t)
     idx = table[u]
-    sidx = jnp.sort(idx)
-    uniq = jnp.concatenate(
-        [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]]
+    # Dedupe by VALUE but rank by DRAW ORDER. Sorting and selecting on the
+    # sorted array would make "first n unique" mean "n smallest ray
+    # indices", systematically discarding the surplus from the top of the
+    # index range (rays of the last view would be starved). Instead: mark
+    # the earliest draw of each distinct value (stable argsort puts equal
+    # values in draw order), scatter the flags back to draw positions, and
+    # keep the first n unique DRAWS.
+    perm = jnp.argsort(idx, stable=True)
+    sidx = idx[perm]
+    uniq_sorted = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    uniq_draw = jnp.zeros((m,), bool).at[perm].set(uniq_sorted)
+    score = (
+        uniq_draw.astype(jnp.float32) * 2.0
+        - jnp.arange(m, dtype=jnp.float32) / m
     )
-    # keep the first n unique draws: rank by (unique, draw position)
-    score = uniq.astype(jnp.float32) * 2.0 - jnp.arange(m, dtype=jnp.float32) / m
     _, sel = jax.lax.top_k(score, n)  # top_k over m ~ 6k: cheap
-    return sidx[sel]
+    return idx[sel]
 
 
 def sample_pixel_rays(

@@ -159,6 +159,16 @@ def test_overdraw_matches_gumbel_inclusion_probabilities():
         assert abs(p_ov - p_ex) < 0.15 * p_ex + 0.005, (p_ex, p_ov)
     # the heavy class must be sampled ~4x more in both
     assert f_ov[n_pop // 2:].mean() > 2.5 * f_ov[: n_pop // 2].mean()
+    # No POSITIONAL bias within a weight class: the surplus drop must not
+    # correlate with ray index (a sorted-order dedupe starves the top of
+    # the index range — i.e. the last training view). Compare the top-5%
+    # -by-index bucket against the bottom-5% bucket inside each class.
+    for lo, hi in ((0, n_pop // 2), (n_pop // 2, n_pop)):
+        width = (hi - lo) // 20  # 5% of the class
+        bottom = f_ov[lo : lo + width].mean()
+        top = f_ov[hi - width : hi].mean()
+        assert abs(top - bottom) < 0.25 * bottom + 0.005, (lo, bottom, top)
+        assert top > 0.0, "top-of-index rays must not be starved"
 
 
 def test_sample_pixel_rays_overdraw_impl():
