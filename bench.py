@@ -148,11 +148,25 @@ def main():
     elapsed = time.perf_counter() - t0
 
     rays_per_sec = cfg.img_sample_size * calls * steps_per_call / elapsed
+    step_ms = 1e3 * elapsed / (calls * steps_per_call)
+    # Measured-FLOP MFU anchor (benchmarks/MFU.md accounting): per-point MLP
+    # fwd = (3*128 + 4*128^2 + 128) MACs; fwd+bwd ~ 3x fwd; points/step =
+    # batch * compacted width. v5e bf16 peak = 197 TF/s. This is the
+    # self-describing hard number; vs_baseline divides by an ESTIMATED
+    # reference rate (no published figure exists) and is labeled as such.
+    k_eff = use_cfg.compact_samples or use_cfg.depth_samples_per_ray
+    f = cfg.num_hidden_units
+    macs_fwd = 3 * f + cfg.num_layers * f * f + f
+    flop_per_step = cfg.img_sample_size * k_eff * macs_fwd * 2 * 3
+    mfu_pct = 100.0 * flop_per_step / (step_ms * 1e-3) / 197e12
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "baseline": "estimated",  # 5,625 rays / ~60 ms-iter single-GPU guess
+        "step_ms": round(step_ms, 3),
+        "mfu_pct": round(mfu_pct, 1),
     }
     print(json.dumps(result))
 

@@ -29,7 +29,7 @@ export function buildUrl(s) {
   }
   experiment += s.sparsity === "lca" ? "-lca" : "-ct";
   const nAngles = Math.round(Math.sqrt(s.sparseAngle)) - 1;
-  const expName = `${s.limitedAngle}-${nAngles}-${s.centerPoint.replace(", ", ", ")}`;
+  const expName = `${s.limitedAngle}-${nAngles}-${s.centerPoint}`;
   const file = `${s.metric}-${s.direction}-${s.firstAxis}-${s.secondAxis}.json`;
   return `${s.baseUrl}/${experiment}/${expName}/${file}`;
 }

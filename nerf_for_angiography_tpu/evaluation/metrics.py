@@ -109,7 +109,15 @@ def _minmax(x: jnp.ndarray) -> jnp.ndarray:
 
 def dot_score(pred: jnp.ndarray, target: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     """Mean elementwise product, optionally after min-max normalization —
-    the reference's 'DOT 2D/3D' (visualization.py:442-454,493-495)."""
+    the reference's 'DOT 2D/3D' (visualization.py:442-454,493-495).
+
+    Documented deviation (SURVEY §2.9-bis convention): the reference's DOT
+    3D is a RAW mean product without normalization (visualization.py:493-495
+    — itself flagged "TODO: check whether this makes sense!" there), which
+    makes the score scale-dependent on the field's units. We normalize in
+    3D too (our sweep calls this with the default ``normalize=True``) so
+    DOT 3D is comparable across transfer functions; pass
+    ``normalize=False`` to reproduce the reference's raw value."""
     if normalize:
         pred, target = _minmax(pred), _minmax(target)
     return jnp.mean(pred * target)
