@@ -130,6 +130,7 @@ def update_grid_pair(
     occ_thre: float,
     vessel_thre: float,
     ema_decay: float = 0.95,
+    key: jax.Array | None = None,
 ) -> tuple[OccupancyGrid, OccupancyGrid]:
     """EMA-update the scene and vessel grids from ONE shared sigma pass.
 
@@ -138,10 +139,17 @@ def update_grid_pair(
     SAME field at the same cell centers; only the binarization threshold
     differs (alpha_thre 1e-4 vs vessel 5e-2). Sharing the evaluation
     halves the dominant grid-update cost (a 2M-point MLP pass) with
-    bit-identical results.
+    bit-identical results. With ``key``, evaluation points are uniformly
+    jittered inside each cell (nerfacc's anti-aliasing sampling; the EMA
+    max across successive jittered updates then covers the cell volume
+    instead of pinning to exact centers).
     """
     res = grid.resolution
-    sigma = sigma_fn(cell_centers(grid)).reshape(res, res, res)
+    pts = cell_centers(grid)
+    if key is not None:
+        cell_size = (grid.aabb[3:] - grid.aabb[:3]) / res
+        pts = pts + (jax.random.uniform(key, pts.shape) - 0.5) * cell_size
+    sigma = sigma_fn(pts).reshape(res, res, res)
 
     def apply(g: OccupancyGrid, thre: float) -> OccupancyGrid:
         occs = jnp.maximum(g.occs * ema_decay, sigma)
@@ -162,8 +170,10 @@ def every_n_step_pair(
     vessel_thre: float,
     n: int = 16,
     ema_decay: float = 0.95,
+    key: jax.Array | None = None,
 ) -> tuple[OccupancyGrid, OccupancyGrid]:
-    """jit-safe every-n gate over update_grid_pair (both grids together)."""
+    """jit-safe every-n gate over update_grid_pair (both grids together).
+    ``key`` enables jittered cell evaluation (see update_grid_pair)."""
     if grid.packed is None:
         grid = with_packed(grid)
     if vessel_grid.packed is None:
@@ -172,7 +182,7 @@ def every_n_step_pair(
     return jax.lax.cond(
         do,
         lambda gs: update_grid_pair(
-            gs[0], gs[1], sigma_fn, occ_thre, vessel_thre, ema_decay
+            gs[0], gs[1], sigma_fn, occ_thre, vessel_thre, ema_decay, key=key
         ),
         lambda gs: gs,
         (grid, vessel_grid),
@@ -548,19 +558,13 @@ def march_rays(
     k = compact_k
     order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
     score = mask * (2 * n_samples - order).astype(jnp.float32)
-    _, sel = jax.lax.top_k(score, k)
-    sel = jnp.sort(sel, axis=-1)
-
-    onehot = (
-        sel[..., :, None]
-        == jax.lax.broadcasted_iota(
-            jnp.int32, sel.shape[:-1] + (k, n_samples), sel.ndim
-        )
-    ).astype(jnp.bfloat16)
-    mask_k = jnp.einsum(
-        "rks,rs->rk", onehot, mask.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    # the top-k VALUES already encode activity (score > 0 <=> mask == 1 at
+    # that sample, since 2n - order > 0 always), so carrying them through
+    # the along-ray reorder replaces the (R, k, n) one-hot mask einsum AND
+    # the separate index sort with one sort_key_val — bit-identical mask_k
+    vals, sel = jax.lax.top_k(score, k)
+    sel, vals = jax.lax.sort_key_val(sel, vals, dimension=-1)
+    mask_k = (vals > 0.0).astype(jnp.float32)
 
     sel_f = sel.astype(jnp.float32)
     t_starts_k = near + sel_f * step
@@ -642,22 +646,15 @@ def march_rays_hybrid(
         occupied = query_occ(grid, positions)
     mask = (in_box & occupied & any_hit[..., None]).astype(jnp.float32)
 
-    # top-k over the w_cap candidates (first-k-active, as march_rays)
+    # top-k over the w_cap candidates (first-k-active, as march_rays).
+    # The top-k VALUES encode activity (score > 0 <=> active), so one
+    # sort_key_val both restores along-ray ordering and yields mask_k —
+    # no (R, k, w_cap) one-hot einsum, no second sort (bit-identical).
     order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
     score = mask * (2 * w_cap - order).astype(jnp.float32)
-    _, sel = jax.lax.top_k(score, k)
-    sel = jnp.sort(sel, axis=-1)  # (R, k) relative
-
-    onehot = (
-        sel[..., :, None]
-        == jax.lax.broadcasted_iota(
-            jnp.int32, sel.shape[:-1] + (k, w_cap), sel.ndim
-        )
-    ).astype(jnp.bfloat16)
-    mask_k = jnp.einsum(
-        "rks,rs->rk", onehot, mask.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    vals, sel = jax.lax.top_k(score, k)
+    sel, vals = jax.lax.sort_key_val(sel, vals, dimension=-1)  # (R, k) relative
+    mask_k = (vals > 0.0).astype(jnp.float32)
 
     abs_sel = (w[..., None] + sel).astype(jnp.float32)
     t_starts_k = near + abs_sel * step

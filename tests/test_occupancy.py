@@ -572,3 +572,41 @@ def test_update_grid_pair_matches_separate_updates():
     np.testing.assert_array_equal(
         np.asarray(a_pair.packed), np.asarray(a_sep.packed)
     )
+
+
+def test_update_grid_pair_jitter_stays_in_cell():
+    """Jittered evaluation points (key given) stay inside each cell: a
+    sigma field that is exactly the cell-index parity still binarizes
+    identically, while a boundary-sensitive field sees different points
+    than the exact-center pass (nerfacc anti-aliasing semantics,
+    wired from the train step via TrainConfig.grid_jitter)."""
+    from nerf_for_angiography_tpu.ops import update_grid_pair
+
+    g = create_grid(AABB, 16)
+    v = jax.tree.map(lambda x: jnp.array(x, copy=True), g)
+    res, lo = 16, float(np.asarray(AABB)[0])
+    cell = (float(np.asarray(AABB)[3]) - lo) / res
+
+    def cell_parity_sigma(p):
+        # constant within each cell -> jitter-invariant
+        ix = jnp.floor((p[..., 0] - lo) / cell).astype(jnp.int32)
+        return (ix % 2).astype(jnp.float32)
+
+    a0, _ = update_grid_pair(g, v, cell_parity_sigma, 1e-4, 5e-2)
+    a1, _ = update_grid_pair(
+        g, v, cell_parity_sigma, 1e-4, 5e-2, key=jax.random.PRNGKey(3)
+    )
+    np.testing.assert_array_equal(np.asarray(a0.binary), np.asarray(a1.binary))
+
+    seen = []
+
+    def record_sigma(p):
+        seen.append(np.asarray(p))
+        return jnp.zeros(p.shape[:-1], jnp.float32)
+
+    update_grid_pair(g, v, record_sigma, 1e-4, 5e-2, key=jax.random.PRNGKey(0))
+    update_grid_pair(g, v, record_sigma, 1e-4, 5e-2)
+    jittered, centers = seen
+    assert not np.allclose(jittered, centers)
+    # every jittered point within half a cell of its center
+    assert np.abs(jittered - centers).max() <= cell / 2 + 1e-5
