@@ -277,6 +277,309 @@ def _fused_bwd(interpret, res, g):
 fused_mlp_raw.defvjp(lambda p, x, i: _fused_fwd(p, x, i), _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Encoded variants: fourier / BARF positional encodings fused in-kernel.
+#
+# The flax encode (models/cppn.py::_pos_enc, ref CPPN.py:207-234) maps
+# x (3,) -> [x, w*sin(v), w*cos(v)] with v = a_j * x_{j%3}:
+#   fourier: a_j = 2*pi*coeff_j (LEARNABLE), w_j = 1
+#   barf:    a_j = 2^{j//3}*pi (fixed),      w_j = coarse-to-fine window(alpha)
+#
+# TPU-native formulation: the tiling+scaling is ONE tiny matmul V = A @ x
+# with A (E_pad, 8) holding identity rows for the raw coords and a_j at
+# column j%3 for the encoded rows; sin/cos apply row-selectively on the VPU;
+# the per-row window w multiplies in. The encode therefore never touches
+# HBM (the kernel input stays the (8, TILE) coords), and backward gets
+# dA = dV @ x^T per tile — a K=TILE MXU contraction — from which dcoeff is
+# extracted outside (2 rows of dA per coefficient).
+# ---------------------------------------------------------------------------
+
+
+def _enc_arrays(spec: tuple, enc_params: dict):
+    """Build (A, w_rows, n_sin, E, E_pad) for an encoding spec.
+
+    spec = (kind, L); enc_params = {'coeff': (3L,)} for fourier,
+    {'w': (3L,)} (the barf_weights window at the current alpha) for barf.
+    """
+    kind, L = spec
+    n_sin = 3 * L
+    e = 3 + 2 * n_sin
+    e_pad = ((e + 7) // 8) * 8
+    cols = jnp.tile(jnp.arange(3), L)  # channel j encodes coordinate j % 3
+    if kind == "fourier":
+        a = 2.0 * jnp.pi * enc_params["coeff"].astype(jnp.float32)
+        w_enc = jnp.ones((n_sin,), jnp.float32)
+    elif kind == "barf":
+        k = jnp.repeat(jnp.arange(L, dtype=jnp.float32), 3)  # j // 3
+        a = (2.0**k) * jnp.pi
+        w_enc = enc_params["w"].astype(jnp.float32)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown encoding kind {kind!r}")
+    mat = jnp.zeros((e_pad, _IN_PAD), jnp.float32)
+    mat = mat.at[jnp.arange(3), jnp.arange(3)].set(1.0)
+    mat = mat.at[3 + jnp.arange(n_sin), cols].set(a)
+    mat = mat.at[3 + n_sin + jnp.arange(n_sin), cols].set(a)
+    w_rows = jnp.ones((e_pad, 1), jnp.float32)
+    w_rows = w_rows.at[3 + jnp.arange(n_sin), 0].set(w_enc)
+    w_rows = w_rows.at[3 + n_sin + jnp.arange(n_sin), 0].set(w_enc)
+    return mat, w_rows, n_sin, e, e_pad
+
+
+def _prep_params_enc(params, e: int, e_pad: int):
+    """Like _prep_params but with an (E, F) encoded input layer."""
+    (w_in, b_in), *hidden, (w_out, b_out) = params
+    f = w_in.shape[1]
+    w_in_t = jnp.zeros((f, e_pad), jnp.float32).at[:, :e].set(w_in.T)
+    flat = [w_in_t.astype(jnp.bfloat16), b_in.reshape(f, 1).astype(jnp.float32)]
+    for w, b in hidden:
+        flat += [w.T.astype(jnp.bfloat16), b.reshape(f, 1).astype(jnp.float32)]
+    flat += [
+        w_out.reshape(f, 1).astype(jnp.float32),
+        b_out.reshape(1, 1).astype(jnp.float32),
+    ]
+    return flat, len(hidden), f
+
+
+def _encode_tile(x_ref, a_ref, w_ref, n_sin: int):
+    """(8, TILE) coords -> (E_pad, TILE) bf16 encoded block, plus the f32
+    pre-activation V (needed again in backward)."""
+    v = jnp.dot(a_ref[:], x_ref[:], preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    sel_sin = (row >= 3) & (row < 3 + n_sin)
+    sel_cos = (row >= 3 + n_sin) & (row < 3 + 2 * n_sin)
+    enc = jnp.where(sel_sin, jnp.sin(v), jnp.where(sel_cos, jnp.cos(v), v))
+    return (enc * w_ref[:]).astype(jnp.bfloat16), v
+
+
+def _fwd_kernel_enc(n_hidden, n_sin, x_ref, a_ref, w_ref, *refs):
+    out_ref = refs[-1]
+    w_in, b_in = refs[0], refs[1]
+    enc, _ = _encode_tile(x_ref, a_ref, w_ref, n_sin)
+    h = jnp.dot(w_in[:], enc, preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
+    for li in range(n_hidden):
+        w, b = refs[2 + 2 * li], refs[3 + 2 * li]
+        h = jnp.dot(w[:], h, preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
+    w_out, b_out = refs[2 + 2 * n_hidden], refs[3 + 2 * n_hidden]
+    raw = jnp.sum(h.astype(jnp.float32) * w_out[:], axis=0, keepdims=True)
+    out_ref[:] = raw + b_out[0, 0]
+
+
+def _bwd_kernel_enc(n_hidden, n_sin, x_ref, g_ref, a_ref, w_ref, *refs):
+    """Backward with in-kernel encode recompute; extra dA accumulator."""
+    n_params = 2 * (n_hidden + 2)
+    param_refs = refs[:n_params]
+    grad_refs = refs[n_params:]
+    w_in, b_in = param_refs[0], param_refs[1]
+    w_out = param_refs[2 + 2 * n_hidden]
+
+    enc, v = _encode_tile(x_ref, a_ref, w_ref, n_sin)
+    acts = []
+    h = jnp.dot(w_in[:], enc, preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
+    acts.append(h)
+    for li in range(n_hidden):
+        w, b = param_refs[2 + 2 * li], param_refs[3 + 2 * li]
+        h = jnp.dot(w[:], h, preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
+        acts.append(h)
+
+    g = g_ref[:]
+    is_first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(is_first)
+        def _():
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            ref[:] = ref[:] + val
+
+    h_last = acts[-1]
+    acc(
+        grad_refs[2 + 2 * n_hidden],
+        jnp.sum(h_last.astype(jnp.float32) * g, axis=1, keepdims=True),
+    )
+    acc(grad_refs[3 + 2 * n_hidden], jnp.sum(g, keepdims=True).reshape(1, 1))
+    dh = (w_out[:] * g).astype(jnp.bfloat16)
+
+    for li in range(n_hidden - 1, -1, -1):
+        z_mask = (acts[li + 1].astype(jnp.float32) > 0).astype(jnp.bfloat16)
+        dz = dh * z_mask
+        a_prev = acts[li]
+        dwt = jax.lax.dot_general(
+            dz, a_prev,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc(grad_refs[2 + 2 * li], dwt)
+        acc(
+            grad_refs[3 + 2 * li],
+            jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True),
+        )
+        wt = param_refs[2 + 2 * li]
+        dh = jax.lax.dot_general(
+            wt[:], dz,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    # input layer: its input is the ENCODED block
+    z_mask = (acts[0].astype(jnp.float32) > 0).astype(jnp.bfloat16)
+    dz = dh * z_mask
+    dw_in_t = jax.lax.dot_general(
+        dz, enc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, E_pad)
+    acc(grad_refs[0], dw_in_t)
+    acc(grad_refs[1], jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True))
+
+    # back through the encode: dencw -> dv -> (dA, dx)
+    dencw = jax.lax.dot_general(
+        w_in[:], dz,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (E_pad, TILE)
+    denc = dencw * w_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    sel_sin = (row >= 3) & (row < 3 + n_sin)
+    sel_cos = (row >= 3 + n_sin) & (row < 3 + 2 * n_sin)
+    dv = jnp.where(
+        sel_sin, jnp.cos(v), jnp.where(sel_cos, -jnp.sin(v), 1.0)
+    ) * denc
+    da = jax.lax.dot_general(
+        dv, x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (E_pad, 8)
+    acc(grad_refs[-2], da)
+    # dx = A^T @ dv (pose refinement path)
+    grad_refs[-1][:] = jax.lax.dot_general(
+        a_ref[:], dv,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (8, TILE)
+
+
+def _run_fwd_enc(flat_params, n_hidden, n_sin, mat, w_rows, x_pad, interpret):
+    n_tiles = x_pad.shape[1] // TILE
+    fixed_specs = [
+        pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+        for p in (mat, w_rows, *flat_params)
+    ]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_enc, n_hidden, n_sin),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            *fixed_specs,
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, x_pad.shape[1]), jnp.float32),
+        interpret=interpret,
+    )(x_pad, mat, w_rows, *flat_params)
+
+
+def _run_bwd_enc(flat_params, n_hidden, n_sin, mat, w_rows, x_pad, g_pad, interpret):
+    n_tiles = x_pad.shape[1] // TILE
+    fixed_specs = [
+        pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+        for p in (mat, w_rows, *flat_params)
+    ]
+    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat_params]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+        for p in flat_params
+    ]
+    grad_shapes.append(jax.ShapeDtypeStruct(mat.shape, jnp.float32))  # dA
+    grad_specs.append(
+        pl.BlockSpec(mat.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+    )
+    grad_shapes.append(jax.ShapeDtypeStruct(x_pad.shape, jnp.float32))  # dx
+    grad_specs.append(
+        pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_enc, n_hidden, n_sin),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            *fixed_specs,
+        ],
+        out_specs=grad_specs,
+        out_shape=grad_shapes,
+        interpret=interpret,
+    )(x_pad, g_pad, mat, w_rows, *flat_params)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def fused_mlp_enc_raw(spec, params, enc_params, x, interpret=False):
+    """Fused encoded MLP: x (P, 3) -> raw density (P,) with the fourier or
+    BARF positional encoding computed in-kernel.
+
+    spec = ('fourier'|'barf', pos_enc_basis); ``params`` as fused_mlp_raw
+    but with W_in of shape (3 + 6L, F) (the encoded width, CPPN.py:207-214);
+    ``enc_params`` = {'coeff': (3L,)} learnable Gaussian coefficients
+    (fourier, CPPN.py:70-80) or {'w': (3L,)} the barf_weights window at the
+    current alpha (barf, CPPN.py:244-259 — not differentiated; the anneal
+    is a schedule).
+    """
+    out, _ = _fused_enc_fwd(spec, params, enc_params, x, interpret)
+    return out
+
+
+def _fused_enc_fwd(spec, params, enc_params, x, interpret):
+    mat, w_rows, n_sin, e, e_pad = _enc_arrays(spec, enc_params)
+    flat, n_hidden, f = _prep_params_enc(params, e, e_pad)
+    x_pad, p = _pad_points(x)
+    raw = _run_fwd_enc(flat, n_hidden, n_sin, mat, w_rows, x_pad, interpret)
+    return raw[0, :p], (params, enc_params, x)
+
+
+def _fused_enc_bwd(spec, interpret, res, g):
+    params, enc_params, x = res
+    mat, w_rows, n_sin, e, e_pad = _enc_arrays(spec, enc_params)
+    flat, n_hidden, f = _prep_params_enc(params, e, e_pad)
+    x_pad, p = _pad_points(x)
+    g_pad = jnp.zeros((1, x_pad.shape[1]), jnp.float32).at[0, :p].set(g)
+    *grads_flat, da, dx_t = _run_bwd_enc(
+        flat, n_hidden, n_sin, mat, w_rows, x_pad, g_pad, interpret
+    )
+
+    (w_in, b_in), *hidden, (w_out, b_out) = params
+    gi = iter(grads_flat)
+    dw_in_t = next(gi)  # (F, E_pad)
+    db_in = next(gi).reshape(b_in.shape)
+    out = [(dw_in_t[:, :e].T, db_in)]
+    for w, b in hidden:
+        out.append((next(gi).T, next(gi).reshape(b.shape)))
+    dw_out = next(gi).reshape(w_out.shape)
+    db_out = next(gi).reshape(b_out.shape)
+    out.append((dw_out, db_out))
+    dx = dx_t[:3, : x.shape[0]].T.astype(x.dtype)
+
+    kind, L = spec
+    n_sin_i = 3 * L
+    cols = jnp.tile(jnp.arange(3), L)
+    if kind == "fourier":
+        rows_sin = 3 + jnp.arange(n_sin_i)
+        rows_cos = 3 + n_sin_i + jnp.arange(n_sin_i)
+        dcoeff = 2.0 * jnp.pi * (da[rows_sin, cols] + da[rows_cos, cols])
+        denc_params = {"coeff": dcoeff.astype(enc_params["coeff"].dtype)}
+    else:
+        denc_params = {"w": jnp.zeros_like(enc_params["w"])}
+    return (out, denc_params, dx)
+
+
+fused_mlp_enc_raw.defvjp(
+    lambda s, p, e, x, i: _fused_enc_fwd(s, p, e, x, i), _fused_enc_bwd
+)
+
+
 def cppn_params_to_list(flax_params: dict, n_hidden: int):
     """Extract the fused-kernel param list from a CPPN flax params dict
     (layer names from models/cppn.py: input_layer, early_i, output_linear)."""

@@ -116,3 +116,120 @@ def test_nonmultiple_tile_sizes(setup):
         got = np.asarray(fused_mlp_raw(plist, x, True))
         want = np.asarray(model.apply(params, x))[:, 0]
         np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+# --- encoded variants: fourier / BARF fused in-kernel ----------------------
+
+import dataclasses
+
+from nerf_for_angiography_tpu.models import barf_k_values, barf_weights
+from nerf_for_angiography_tpu.ops.pallas.fused_mlp import fused_mlp_enc_raw
+
+L = 5
+
+
+@pytest.fixture(scope="module")
+def setup_enc():
+    out = {}
+    for kind in ("fourier", "barf"):
+        cfg = CPPNConfig(
+            num_early_layers=2, num_filters=64, pos_enc=kind, pos_enc_basis=L
+        )
+        model, params = init_cppn(cfg, jax.random.PRNGKey(2))
+        out[kind] = (cfg, model, params)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2500, 3)) * 0.3
+    return out, x
+
+
+def _enc_args(kind, params, alpha):
+    if kind == "fourier":
+        return {"coeff": params["params"]["fourier_coefficients_pts"]}
+    return {"w": barf_weights(alpha, barf_k_values(L, 3))}
+
+
+@pytest.mark.parametrize("kind", ["fourier", "barf"])
+@pytest.mark.parametrize("alpha", [0.0, 2.7, float(L)])
+def test_enc_forward_matches_flax(setup_enc, kind, alpha):
+    models, x = setup_enc
+    cfg, model, params = models[kind]
+    if kind == "fourier" and alpha != 0.0:
+        pytest.skip("alpha only affects barf")
+    want = np.asarray(model.apply(params, x, barf_alpha=alpha))[:, 0]
+    plist = cppn_params_to_list(params, cfg.num_early_layers)
+    got = np.asarray(
+        fused_mlp_enc_raw(
+            (kind, L), plist, _enc_args(kind, params, alpha), x, True
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)  # bf16 matmuls
+
+
+@pytest.mark.parametrize("kind", ["fourier", "barf"])
+def test_enc_backward_matches_flax(setup_enc, kind):
+    """Param grads (incl. the learnable fourier coefficients) and dx parity
+    vs the flax path at a mid-anneal alpha."""
+    models, x = setup_enc
+    cfg, model, params = models[kind]
+    alpha = 2.7
+    plist = cppn_params_to_list(params, cfg.num_early_layers)
+    enc = _enc_args(kind, params, alpha)
+
+    def loss_pallas(pl_, enc_, xx):
+        raw = fused_mlp_enc_raw((kind, L), pl_, enc_, xx, True)
+        return jnp.mean(jax.nn.sigmoid(raw) ** 2)
+
+    def loss_flax(p, xx):
+        raw = model.apply(p, xx, barf_alpha=alpha)[:, 0]
+        return jnp.mean(jax.nn.sigmoid(raw) ** 2)
+
+    gp, genc, gx = jax.grad(loss_pallas, argnums=(0, 1, 2))(plist, enc, x)
+    gf_tree, gx_f = jax.grad(loss_flax, argnums=(0, 1))(params, x)
+    gf = cppn_params_to_list(gf_tree, cfg.num_early_layers)
+
+    for (dw_p, db_p), (dw_f, db_f) in zip(gp, gf):
+        dw_p, dw_f = np.asarray(dw_p), np.asarray(dw_f).reshape(np.asarray(dw_p).shape)
+        scale = max(np.abs(dw_f).max(), 1e-8)
+        np.testing.assert_allclose(dw_p / scale, dw_f / scale, atol=0.04)
+        db_p, db_f = np.asarray(db_p), np.asarray(db_f).reshape(np.asarray(db_p).shape)
+        bscale = max(np.abs(db_f).max(), 1e-8)
+        np.testing.assert_allclose(db_p / bscale, db_f / bscale, atol=0.04)
+
+    if kind == "fourier":
+        dc_f = np.asarray(gf_tree["params"]["fourier_coefficients_pts"])
+        dc_p = np.asarray(genc["coeff"])
+        scale = max(np.abs(dc_f).max(), 1e-8)
+        np.testing.assert_allclose(dc_p / scale, dc_f / scale, atol=0.04)
+    else:
+        np.testing.assert_array_equal(np.asarray(genc["w"]), 0.0)
+
+    # dx: compare against a bf16-compute flax model (per-point input grads
+    # flip with relu masks at bf16 activations — inherent to the precision,
+    # see test_input_gradient_matches_flax); the large fourier sin/cos
+    # arguments amplify single-point flips, so allow a <=1% outlier tail.
+    m16 = type(model)(dataclasses.replace(cfg, dtype=jnp.bfloat16))
+
+    def loss_flax16(xx):
+        raw = m16.apply(params, xx, barf_alpha=alpha)[:, 0]
+        return jnp.mean(jax.nn.sigmoid(raw) ** 2)
+
+    dx_p = np.asarray(gx)
+    dx_f = np.asarray(jax.grad(loss_flax16)(x))
+    scale = max(np.abs(dx_f).max(), 1e-8)
+    assert np.abs(dx_p).max() > 0.0
+    rel = np.abs(dx_p - dx_f) / scale
+    assert np.quantile(rel, 0.99) < 0.05, np.quantile(rel, 0.99)
+    assert rel.mean() < 0.01, rel.mean()
+
+
+def test_enc_eligibility_extended():
+    """density_raw's eligibility gate now admits fourier/barf relu configs
+    (they previously silently fell back to the slow path, VERDICT r2 #7)."""
+    from nerf_for_angiography_tpu.training.train import _pallas_eligible
+    from nerf_for_angiography_tpu.models import CPPN
+
+    for kind in ("none", "fourier", "barf"):
+        cfg = CPPNConfig(pos_enc=kind, pos_enc_basis=5)
+        assert _pallas_eligible(CPPN(cfg))
+    assert not _pallas_eligible(CPPN(CPPNConfig(pos_enc="fourier", act_func="sine")))
+    assert not _pallas_eligible(CPPN(CPPNConfig(pos_enc="fourier", pos_enc_basis=0)))
