@@ -56,6 +56,13 @@ class TrainConfig:
     grid_resolution: int = 128
     grid_update_every: int = 16
     grid_ema_decay: float = 0.95
+    # jitter the grid-update evaluation points uniformly inside each cell
+    # (nerfacc's anti-aliasing cell sampling, ops/occupancy.py::update_grid).
+    # Prevents thin structures near cell boundaries from aliasing onto the
+    # exact-center lattice; the EMA max over successive jittered updates
+    # covers the cell volume. Quality-neutral at the 128^3 flagship
+    # (CT vessels are multi-cell wide — see benchmarks/QUALITY.md).
+    grid_jitter: bool = True
     # 0 = always-dense lattice; k > 0 enables nerfacc-style empty-space
     # skipping: the train loop switches to a stepper that gathers only the
     # first k grid-occupied samples per ray ONCE the grid has pruned enough
@@ -82,6 +89,18 @@ class TrainConfig:
     # The training loop auto-falls back window -> hybrid -> lattice by the
     # measured lossless width (choose_compact_mode).
     march_mode: str = "window"
+    # how often (iters) the loop checks whether the grid has pruned enough
+    # to engage the compacted stepper. The dense phase runs at ~1/4 of the
+    # compacted throughput, so checking only at display_every cadence (the
+    # round-2 behavior) leaves minutes of avoidable dense stepping; the
+    # check itself is one jitted probe march (~ms). Once engaged,
+    # re-validation drops back to display_every cadence.
+    compact_check_every: int = 100
+    # write coarsegrid.vtk / coarsevesselgrid.vtk at display cadence
+    # (run_nerf_acc.py:359-367 parity). The writes go through an async
+    # latest-wins writer thread either way; False skips them entirely
+    # (best-model highgrid.vtk exports still happen).
+    grid_export: bool = True
 
     # positional encoding / BARF (run_nerf_acc.py:160-167)
     pos_enc: str = "none"

@@ -39,6 +39,60 @@ from .train import (
 )
 
 
+class _AsyncWriter:
+    """Daemon artifact writer: latest-wins per tag, never blocks the step.
+
+    The per-display VTK grid exports (2 x 128^3 -> ~2 MB binary files) cost
+    ~0.2-0.5 s of host time each on this class of host; during TPU training
+    the host is otherwise idle, so formatting + disk IO move off the hot
+    loop. Thunks must close over HOST (numpy) data only — device buffers
+    are donated into the next step and may be invalidated by the time the
+    thread runs.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._cv = threading.Condition()
+        self._pending: dict[str, Any] = {}
+        self._open = True
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, tag: str, thunk) -> None:
+        with self._cv:
+            self._pending[tag] = thunk  # newer write for a tag wins
+            self._cv.notify()
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while self._open and not self._pending:
+                    self._cv.wait()
+                if not self._pending:
+                    return
+                tag, thunk = self._pending.popitem()
+            try:
+                thunk()
+            except Exception as e:  # noqa: BLE001 — never kill training for an export
+                print(f"async write '{tag}' failed: {e}")
+
+    def close(self) -> None:
+        """Flush all pending writes and stop the thread."""
+        with self._cv:
+            self._open = False
+            self._cv.notify()
+        self._thread.join(timeout=120)
+
+
+def _grid_snapshot(grid) -> Any:
+    """Host copy of a grid for async VTK export (donation-safe)."""
+    from ..ops.occupancy import OccupancyGrid
+
+    b = np.asarray(grid.binary)
+    return OccupancyGrid(occs=b, binary=b, aabb=np.asarray(grid.aabb))
+
+
 @dataclasses.dataclass
 class TrainResult:
     state: Any
@@ -152,11 +206,49 @@ def train(
     # cadence on the held-out view's marching mask.
     # the stepper itself is built lazily at switch time with the march mode
     # choose_compact_mode selects (window when the active span fits k,
-    # lattice-top-k for multi-branch rays whose spans do not)
-    compact_step = None
-    compact_chunk = None
+    # lattice-top-k for multi-branch rays whose spans do not).
+    # Compiled steppers are CACHED by (march_mode, k): through the tunnel a
+    # recompile costs ~4-12 s, and grid evolution re-tunes k a handful of
+    # times per run — revisiting a (mode, k) pair must be free. The
+    # single-step variant compiles only if a partial chunk actually needs
+    # it (with chunking it normally never does).
     using_compact = False
+    compact_mode: str | None = None
+    compact_k = 0
     want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
+    _stepper_cache: dict = {}
+
+    def _compact_entry():
+        key = (compact_mode, compact_k)
+        entry = _stepper_cache.get(key)
+        if entry is None:
+            entry = {
+                "cfg": dataclasses.replace(
+                    cfg, march_mode=compact_mode, compact_samples=compact_k
+                ),
+                "step": None,
+                "chunk": None,
+            }
+            _stepper_cache[key] = entry
+        return entry
+
+    def compact_step_fn():
+        entry = _compact_entry()
+        if entry["step"] is None:
+            entry["step"] = make_train_step(
+                model, entry["cfg"], near, far,
+                num_images=n_views - 1, rays_per_image=rays_per_view,
+            )
+        return entry["step"]
+
+    def compact_chunk_fn():
+        entry = _compact_entry()
+        if entry["chunk"] is None:
+            entry["chunk"] = make_train_chunk(
+                model, entry["cfg"], near, far, chunk_c,
+                num_images=n_views - 1, rays_per_image=rays_per_view,
+            )
+        return entry["chunk"]
 
     # scan-chunked stepping between logging/display boundaries: one device
     # dispatch per chunk_c steps instead of per step (through the tunnel a
@@ -178,6 +270,16 @@ def train(
         else None
     )
 
+    # compaction-readiness cadence, rounded up to a chunk boundary so the
+    # check actually fires (the loop only observes boundary iterations)
+    if use_chunks:
+        check_every = max(
+            chunk_c, -(-cfg.compact_check_every // chunk_c) * chunk_c
+        )
+    else:
+        check_every = max(1, cfg.compact_check_every)
+
+    writer = _AsyncWriter()
     exp_name = datetime.now().astimezone().strftime("%Y-%m-%d-%H%M")
     page_data = build_page_data(cfg, exp_name)
     logger = ExperimentLogger(log_dir) if log_dir else None
@@ -209,11 +311,11 @@ def train(
         m = min(-(-n_iter // chunk_c) * chunk_c, cfg.n_iters)
         count = m - n_iter + 1
         if use_chunks and count == chunk_c:
-            runner = compact_chunk if using_compact else train_chunk
+            runner = compact_chunk_fn() if using_compact else train_chunk
             state, mstack, pred_pix, target_pix = runner(state, train_rays)
             metrics = {k: v[-1] for k, v in mstack.items()}
         else:
-            active_step = compact_step if using_compact else train_step
+            active_step = compact_step_fn() if using_compact else train_step
             for _ in range(count):
                 state, metrics, pred_pix, target_pix = active_step(
                     state, train_rays
@@ -227,37 +329,29 @@ def train(
             t = np.asarray(target_pix).reshape(cfg.sample_size, cfg.sample_size)
             logger.train_images(p, t, n_iter)
 
-        if n_iter % cfg.display_every == 0:
-            if want_compact and not using_compact:
-                from .train import choose_compact_mode, compact_k_for
+        # compaction-readiness check at its own (faster) cadence: the dense
+        # phase runs ~4x slower than compacted, so engaging as soon as the
+        # grid has pruned — instead of at display cadence — trims minutes
+        # off a 20k-iter run. One jitted probe march per check (~ms).
+        if want_compact and not using_compact and n_iter % check_every == 0:
+            from .train import choose_compact_mode, compact_k_for
 
-                choice = choose_compact_mode(
-                    cfg, state.grid, test.origins, test.directions, near, far
-                )
-                if choice is not None:
-                    compact_mode, width = choice
-                    compact_k = compact_k_for(width, cfg)
-                    step_cfg = dataclasses.replace(
-                        cfg, march_mode=compact_mode, compact_samples=compact_k
+            choice = choose_compact_mode(
+                cfg, state.grid, test.origins, test.directions, near, far
+            )
+            if choice is not None:
+                compact_mode, width = choice
+                compact_k = compact_k_for(width, cfg)
+                using_compact = True
+                if verbose:
+                    print(
+                        f"switching to compacted stepper at iter {n_iter} "
+                        f"(march_mode={compact_mode}, needed width/ray "
+                        f"{width} -> k={compact_k})"
                     )
-                    compact_step = make_train_step(
-                        model, step_cfg, near, far,
-                        num_images=n_views - 1, rays_per_image=rays_per_view,
-                    )
-                    if use_chunks:
-                        compact_chunk = make_train_chunk(
-                            model, step_cfg, near, far, chunk_c,
-                            num_images=n_views - 1,
-                            rays_per_image=rays_per_view,
-                        )
-                    using_compact = True
-                    if verbose:
-                        print(
-                            f"switching to compacted stepper at iter {n_iter} "
-                            f"(march_mode={compact_mode}, needed width/ray "
-                            f"{width} -> k={compact_k})"
-                        )
-            elif want_compact and using_compact:
+
+        if n_iter % cfg.display_every == 0:
+            if want_compact and using_compact:
                 # the grid keeps evolving (EMA decay + re-threshold can add
                 # cells back): re-pick the mode and regrow k before
                 # truncation can bias training; revert to the dense stepper
@@ -278,21 +372,9 @@ def train(
                     mode2, width2 = choice
                     k2 = compact_k_for(width2, cfg)
                     if mode2 != compact_mode or k2 > compact_k:
+                        # lazy + cached: a previously-seen (mode, k) pair
+                        # reuses its compiled steppers (no recompile)
                         compact_mode, compact_k = mode2, k2
-                        step_cfg = dataclasses.replace(
-                            cfg, march_mode=compact_mode,
-                            compact_samples=compact_k,
-                        )
-                        compact_step = make_train_step(
-                            model, step_cfg, near, far,
-                            num_images=n_views - 1, rays_per_image=rays_per_view,
-                        )
-                        if use_chunks:
-                            compact_chunk = make_train_chunk(
-                                model, step_cfg, near, far, chunk_c,
-                                num_images=n_views - 1,
-                                rays_per_image=rays_per_view,
-                            )
                         if verbose:
                             print(
                                 f"retuning compacted stepper at iter {n_iter} "
@@ -324,10 +406,19 @@ def train(
                 tgt = _assemble_image(test, test.pixel_values)
                 logger.test_images(img, tgt, n_iter)
 
-            if log_dir:
-                save_grid_vtk(os.path.join(log_dir, "coarsegrid.vtk"), state.grid)
-                save_grid_vtk(
-                    os.path.join(log_dir, "coarsevesselgrid.vtk"), state.vessel_grid
+            if log_dir and cfg.grid_export:
+                g, vg = _grid_snapshot(state.grid), _grid_snapshot(state.vessel_grid)
+                writer.submit(
+                    "coarsegrid",
+                    lambda g=g: save_grid_vtk(
+                        os.path.join(log_dir, "coarsegrid.vtk"), g
+                    ),
+                )
+                writer.submit(
+                    "coarsevesselgrid",
+                    lambda vg=vg: save_grid_vtk(
+                        os.path.join(log_dir, "coarsevesselgrid.vtk"), vg
+                    ),
                 )
 
             if check >= highest_psnr and n_iter > 0:
@@ -340,9 +431,19 @@ def train(
                         state.params,
                         {"step": n_iter, "psnr": psnr, "vessel_psnr": vessel_psnr},
                     )
-                    save_grid_vtk(os.path.join(log_dir, "highgrid.vtk"), state.grid)
-                    save_grid_vtk(
-                        os.path.join(log_dir, "highvesselgrid.vtk"), state.vessel_grid
+                    g = _grid_snapshot(state.grid)
+                    vg = _grid_snapshot(state.vessel_grid)
+                    writer.submit(
+                        "highgrid",
+                        lambda g=g: save_grid_vtk(
+                            os.path.join(log_dir, "highgrid.vtk"), g
+                        ),
+                    )
+                    writer.submit(
+                        "highvesselgrid",
+                        lambda vg=vg: save_grid_vtk(
+                            os.path.join(log_dir, "highvesselgrid.vtk"), vg
+                        ),
                     )
                     page_data["Date end"] = datetime.now().astimezone().isoformat()
                     page_data["PSNR"] = round(psnr, 2)
@@ -374,6 +475,7 @@ def train(
     elapsed = time.perf_counter() - t_start
     rays_per_sec = rays_done / elapsed if elapsed > 0 else 0.0
 
+    writer.close()  # flush pending VTK exports before reporting done
     if logger:
         logger.close()
     if ckpt_mgr:

@@ -17,6 +17,7 @@ replicated (the MLP is ~50k params — TP/PP are pointless, SURVEY.md §2).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, NamedTuple
 
@@ -174,11 +175,17 @@ def create_train_state(
 
 
 def _pallas_eligible(model: CPPN) -> bool:
-    """The fused kernel covers the 'none'-encoding relu density stack —
-    the flagship 4x128 and both reference variants (2x128 / 4x64)."""
+    """The fused kernel covers the relu density stack for pos_enc 'none'
+    (ops/pallas/fused_mlp.py::fused_mlp_raw) AND 'fourier'/'barf'
+    (fused_mlp_enc_raw — the encode runs in-kernel as a tiny matmul +
+    row-selected sin/cos). Covers the flagship 4x128, both reference
+    variants (2x128 / 4x64), and the BARF/fourier configs of CPPN.py:62-94."""
     c = model.config
+    enc_ok = c.pos_enc == "none" or (
+        c.pos_enc in ("fourier", "barf") and c.pos_enc_basis > 0
+    )
     return (
-        c.pos_enc == "none"
+        enc_ok
         and c.act_func == "relu"
         and c.num_late_layers == 0
         and c.num_input_channels == 3
@@ -211,12 +218,30 @@ def density_raw(
             "axon",
         )
     if use:
-        from ..ops.pallas.fused_mlp import cppn_params_to_list, fused_mlp_raw
+        from ..ops.pallas.fused_mlp import (
+            cppn_params_to_list,
+            fused_mlp_enc_raw,
+            fused_mlp_raw,
+        )
 
         # pallas through the axon tunnel needs the remote-compile shim
         os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
-        plist = cppn_params_to_list(params, model.config.num_early_layers)
-        return fused_mlp_raw(plist, pts * model.config.input_scale)
+        c = model.config
+        plist = cppn_params_to_list(params, c.num_early_layers)
+        x = pts * c.input_scale
+        if c.pos_enc == "none":
+            return fused_mlp_raw(plist, x)
+        if c.pos_enc == "fourier":
+            enc = {"coeff": params["params"]["fourier_coefficients_pts"]}
+        else:  # barf: window weights at the current anneal alpha
+            from ..models import barf_k_values, barf_weights
+
+            enc = {
+                "w": barf_weights(
+                    barf_alpha, barf_k_values(c.pos_enc_basis, 3)
+                )
+            }
+        return fused_mlp_enc_raw((c.pos_enc, c.pos_enc_basis), plist, enc, x)
     return model.apply(params, pts, barf_alpha=barf_alpha)[..., -1]
 
 
@@ -267,6 +292,33 @@ def _march_for(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_probes(n_samples: int, near: float, far: float, aabb_extent: float):
+    """Jitted device probes for the compact-mode chooser. Unjitted, every
+    march op is a separate dispatch through the tunnel (~1.3 ms each — a
+    dense march is ~30 ops); jitted it is one dispatch. lru-cached so the
+    production loop's periodic checks never re-trace."""
+    dense_mask = jax.jit(
+        lambda g, o, d: march_rays(g, o, d, n_samples, near, far).mask
+    )
+    win_start = jax.jit(
+        lambda g, o, d: coarse_window(
+            g, o, d, n_samples, near, far, aabb_extent=aabb_extent
+        )[0]
+    )
+    return dense_mask, win_start
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_window_t0(n_samples: int, near: float, far: float,
+                      k: int, aabb_extent: float):
+    return jax.jit(
+        lambda g, o, d: march_rays_window(
+            g, o, d, n_samples, near, far, k=k, aabb_extent=aabb_extent
+        ).t_starts[:, 0]
+    )
+
+
 def compact_switch_width(
     cfg: TrainConfig,
     grid: OccupancyGrid,
@@ -275,6 +327,7 @@ def compact_switch_width(
     near: float,
     far: float,
     mode: str | None = None,
+    dense_mask: np.ndarray | None = None,
 ) -> int:
     """Max per-ray sample width the compacted stepper would need to render
     these rays losslessly — the auto-switch criterion (switch when this is
@@ -289,27 +342,25 @@ def compact_switch_width(
     """
     mode = cfg.march_mode if mode is None else mode
     n = cfg.depth_samples_per_ray
-    probe = march_rays(grid, origins, directions, n, near, far)
-    dm = np.asarray(probe.mask) > 0
+    extent = 2 * cfg.outside
+    probe_fn, win_fn = _jitted_probes(n, near, far, extent)
+    if dense_mask is None:
+        dense_mask = np.asarray(probe_fn(grid, origins, directions)) > 0
+    dm = dense_mask
     ac = int(dm.sum(-1).max())
     if mode == "lattice":
         return ac
     has = dm.any(-1)
     last = dm.shape[-1] - 1 - np.argmax(dm[:, ::-1], -1)
     if mode == "window":
-        mw = march_rays_window(
-            grid, origins, directions, n, near, far,
-            k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
+        t0 = _jitted_window_t0(n, near, far, cfg.compact_samples, extent)(
+            grid, origins, directions
         )
         step_sz = (far - near) / n
-        w0 = np.round(
-            (np.asarray(mw.t_starts[:, 0]) - near) / step_sz
-        ).astype(np.int64)
+        w0 = np.round((np.asarray(t0) - near) / step_sz).astype(np.int64)
         return int(np.where(has, last - w0 + 1, 0).max())
     # hybrid: span measured from the w_cap-clamped window start
-    start, _, _ = coarse_window(
-        grid, origins, directions, n, near, far, aabb_extent=2 * cfg.outside
-    )
+    start = win_fn(grid, origins, directions)
     wcap = hybrid_w_cap(compact_k_for(ac, cfg), n)
     w0 = np.clip(np.asarray(start), 0, max(n - wcap, 0))
     span = int(np.where(has, last - w0 + 1, 0).max())
@@ -341,8 +392,16 @@ def choose_compact_mode(
         "hybrid": ("hybrid", "lattice"),
     }
     modes = chains.get(cfg.march_mode, (cfg.march_mode,))
+    # ONE dense probe march shared across the whole mode chain (it is the
+    # expensive part of the check — previously re-run per mode)
+    probe_fn, _ = _jitted_probes(
+        cfg.depth_samples_per_ray, near, far, 2 * cfg.outside
+    )
+    dm = np.asarray(probe_fn(grid, origins, directions)) > 0
     for mode in modes:
-        w = compact_switch_width(cfg, grid, origins, directions, near, far, mode)
+        w = compact_switch_width(
+            cfg, grid, origins, directions, near, far, mode, dense_mask=dm
+        )
         if w <= budget:
             return mode, w
     return None
@@ -460,7 +519,7 @@ def _build_train_step(
         raise ValueError("sample_mode='image' needs num_images and rays_per_image")
 
     def train_step(state: TrainState, rays: RayDataset):
-        key, k_sample = jax.random.split(state.key)
+        key, k_sample, k_grid = jax.random.split(state.key, 3)
 
         # BARF alpha anneal (run_nerf_acc.py:268-272)
         barf_alpha = (
@@ -476,6 +535,7 @@ def _build_train_step(
             state.grid, state.vessel_grid, state.step, sig,
             cfg.alpha_thre, cfg.vessel_alpha_thre,
             cfg.grid_update_every, cfg.grid_ema_decay,
+            key=k_grid if cfg.grid_jitter else None,
         )
 
         # ray sampling on device (run_nerf_acc.py:275-280)
