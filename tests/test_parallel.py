@@ -154,3 +154,89 @@ def test_sharded_eval_sweep_matches_sequential():
         np.testing.assert_allclose(pred, p_seq, atol=1e-5)
         np.testing.assert_allclose(bpred, b_seq, atol=1e-5)
         np.testing.assert_allclose(c2w, c_seq, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_flagship_shape_sharded_equality():
+    """Sharded-vs-single loss equality at the REAL flagship shapes —
+    75^2 rays x 300 samples, 128^3 packed grids, hybrid march k=80
+    (VERDICT r2: toy shapes cannot catch shape-dependent sharding bugs in
+    the packed-grid caches or the compaction under a sharded batch axis).
+    Also asserts occ_stride survives un-degraded at these shapes."""
+    import warnings
+
+    from nerf_for_angiography_tpu.ops.occupancy import (
+        OccupancyGrid,
+        with_packed,
+    )
+    from nerf_for_angiography_tpu.ops.sampling import (
+        RayDataset,
+        build_sampling_table,
+    )
+
+    cfg = TrainConfig(march_mode="hybrid", compact_samples=80)
+    mesh = create_mesh()
+
+    res = cfg.grid_resolution
+    ax = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 200.0 - 100.0
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    binary = jnp.zeros((res, res, res), bool)
+    for c in ((0.0, 0.0, 0.0), (30.0, -20.0, 40.0), (-40.0, 25.0, -30.0)):
+        binary = binary | (
+            (gx - c[0]) ** 2 + (gy - c[1]) ** 2 + (gz - c[2]) ** 2 < 15.0**2
+        )
+    grid = with_packed(OccupancyGrid(
+        occs=binary.astype(jnp.float32), binary=binary,
+        aabb=jnp.array([-100.0] * 3 + [100.0] * 3, jnp.float32),
+    ))
+
+    n_rays = -(-2 * cfg.img_sample_size // 8) * 8  # shardable over the mesh
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    lat = jax.random.uniform(k1, (n_rays, 2), minval=-0.06, maxval=0.06)
+    dirs = jnp.concatenate([lat, jnp.ones((n_rays, 1))], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.concatenate(
+        [
+            jax.random.uniform(k2, (n_rays, 2), minval=-20.0, maxval=20.0),
+            jnp.full((n_rays, 1), -1500.0),
+        ],
+        axis=-1,
+    )
+    weights = jnp.ones((n_rays,), jnp.float32)
+    base_rays = RayDataset(
+        origins=origins, directions=dirs,
+        pixel_values=jax.random.uniform(k3, (n_rays,)),
+        weights=weights,
+        image_ids=jnp.zeros((n_rays,), jnp.int32),
+        x_positions=jnp.zeros((n_rays,), jnp.int32),
+        y_positions=jnp.zeros((n_rays,), jnp.int32),
+        sampling_table=None,
+    )
+    table = build_sampling_table(weights)
+
+    losses = {}
+    for shard in (False, True):
+        model, state = create_train_state(cfg, jax.random.PRNGKey(2))
+        vg = jax.tree.map(lambda x: jnp.array(x, copy=True), grid)
+        state = state._replace(
+            grid=jax.tree.map(lambda x: jnp.array(x, copy=True), grid),
+            vessel_grid=vg,
+            step=jnp.ones((), jnp.int32),  # skip executing the grid update
+        )
+        rays = base_rays
+        if shard:
+            rays = shard_leading_axis(rays, mesh)
+            t = jax.device_put(table, NamedSharding(mesh, P()))
+        else:
+            t = table
+        rays = rays._replace(sampling_table=t)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            step = make_train_step(model, cfg, 1400.0, 1600.0)
+            state, metrics, *_ = step(state, rays)
+            losses[shard] = float(metrics["loss/train-pixel-coarse"])
+        stride_warns = [w for w in caught if "occ_stride" in str(w.message)]
+        assert not stride_warns, str(stride_warns[0].message)
+
+    assert np.isfinite(losses[False])
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-4)

@@ -1,0 +1,129 @@
+"""Sweep the fused-MLP kernel point-tile size on the real TPU.
+
+Times fwd and fwd+bwd at the flagship point count (5,625 rays x k samples)
+for each candidate TILE, plus the encoded (fourier/barf) kernel variants at
+the default tile. Run in a fresh process (module global TILE is patched).
+
+Usage: python tools/bench_mlp_tile.py [--points 450000] [--tiles 4096,5120,6144]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit_on_device(body, n_inner=30, warmup=1, iters=4):
+    run = jax.jit(
+        lambda: jax.lax.fori_loop(
+            0, n_inner, lambda i, acc: acc + body(i), jnp.float32(0.0)
+        )
+    )
+    for _ in range(warmup):
+        run().block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run().block_until_ready()
+    return (time.perf_counter() - t0) / (iters * n_inner)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=450_000)
+    ap.add_argument("--tiles", default="4096,5120,6144")
+    ap.add_argument("--enc", action="store_true", help="also bench enc kernels")
+    args = ap.parse_args()
+
+    from nerf_for_angiography_tpu.models import (
+        CPPNConfig, barf_k_values, barf_weights, init_cppn,
+    )
+    from nerf_for_angiography_tpu.ops.pallas import fused_mlp as fm
+
+    cfg = CPPNConfig(num_early_layers=4, num_filters=128)
+    model, params = init_cppn(cfg, jax.random.PRNGKey(0))
+    plist = fm.cppn_params_to_list(params, 4)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (args.points, 3), minval=-100.0, maxval=100.0
+    )
+    macs = 3 * 128 + 4 * 128 * 128 + 128
+    flop_fwd = args.points * macs * 2
+    out = {}
+
+    for tile in [int(t) for t in args.tiles.split(",")]:
+        fm.TILE = tile
+        try:
+            t_f = timeit_on_device(
+                lambda i: jnp.sum(fm.fused_mlp_raw(plist, x + i * 1e-6))
+            )
+            t_fb = timeit_on_device(
+                lambda i: jax.tree.reduce(
+                    lambda a, v: a + jnp.sum(v),
+                    jax.grad(lambda p: jnp.sum(fm.fused_mlp_raw(p, x + i * 1e-6)))(
+                        plist
+                    ),
+                    jnp.float32(0.0),
+                )
+            )
+            out[f"tile{tile}"] = {
+                "fwd_ms": round(t_f * 1e3, 4),
+                "fwdbwd_ms": round(t_fb * 1e3, 4),
+                "fwd_tfs": round(flop_fwd / t_f / 1e12, 1),
+                "fwdbwd_tfs": round(3 * flop_fwd / t_fb / 1e12, 1),
+            }
+        except Exception as e:  # noqa: BLE001 — report failed tiles
+            out[f"tile{tile}"] = {"error": str(e)[:200]}
+        print(json.dumps({f"tile{tile}": out[f"tile{tile}"]}), file=sys.stderr)
+
+    if args.enc:
+        fm.TILE = 4096
+        L = 5
+        ecfg = CPPNConfig(
+            num_early_layers=4, num_filters=128, pos_enc="fourier",
+            pos_enc_basis=L,
+        )
+        emodel, eparams = init_cppn(ecfg, jax.random.PRNGKey(2))
+        eplist = fm.cppn_params_to_list(eparams, 4)
+        enc_f = {"coeff": eparams["params"]["fourier_coefficients_pts"]}
+        enc_b = {"w": barf_weights(2.7, barf_k_values(L, 3))}
+        for kind, enc in (("fourier", enc_f), ("barf", enc_b)):
+            t_fb = timeit_on_device(
+                lambda i: jax.tree.reduce(
+                    lambda a, v: a + jnp.sum(v),
+                    jax.grad(
+                        lambda p: jnp.sum(
+                            fm.fused_mlp_enc_raw((kind, L), p, enc, x + i * 1e-6)
+                        )
+                    )(eplist),
+                    jnp.float32(0.0),
+                )
+            )
+            # XLA fallback comparison
+            t_xla = timeit_on_device(
+                lambda i: jax.tree.reduce(
+                    lambda a, v: a + jnp.sum(v),
+                    jax.grad(
+                        lambda p: jnp.sum(
+                            emodel.apply(p, x + i * 1e-6, barf_alpha=2.7)[:, 0]
+                        )
+                    )(eparams),
+                    jnp.float32(0.0),
+                )
+            )
+            out[kind] = {
+                "fwdbwd_ms": round(t_fb * 1e3, 4),
+                "fwdbwd_xla_ms": round(t_xla * 1e3, 4),
+            }
+            print(json.dumps({kind: out[kind]}), file=sys.stderr)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
