@@ -161,6 +161,78 @@ def update_grid_pair(
     return apply(grid, occ_thre), apply(vessel_grid, vessel_thre)
 
 
+def _slab_centers(
+    grid: OccupancyGrid, start: jnp.ndarray, slab: int
+) -> jnp.ndarray:
+    """(slab*res^2, 3) cell centers of x-rows [start, start+slab)."""
+    res = grid.resolution
+    lo, hi = grid.aabb[:3], grid.aabb[3:]
+    idx = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    xi = (jnp.arange(slab, dtype=jnp.float32) + start.astype(jnp.float32) + 0.5) / res
+    xs = lo[0] + xi * (hi[0] - lo[0])
+    ys = lo[1] + idx * (hi[1] - lo[1])
+    zs = lo[2] + idx * (hi[2] - lo[2])
+    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+def update_grid_pair_slab(
+    grid: OccupancyGrid,
+    vessel_grid: OccupancyGrid,
+    sigma_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    occ_thre: float,
+    vessel_thre: float,
+    update_idx: jnp.ndarray,
+    n_slabs: int = 4,
+    ema_decay: float = 0.95,
+    key: jax.Array | None = None,
+) -> tuple[OccupancyGrid, OccupancyGrid]:
+    """Partial EMA update: one rotating 1/n_slabs x-slab per call.
+
+    nerfacc's OccupancyGrid._update evaluates only a PARTIAL set of cells
+    per update after its warmup (uniform + occupied samples); evaluating
+    all res^3 centers every update (update_grid_pair) costs one extra
+    training step's worth of MLP time every cadence. TPU-native partial
+    variant: a contiguous x-slab selected by ``update_idx % n_slabs`` —
+    dynamic_update_slice instead of nerfacc's scatter, static shapes, full
+    coverage every n_slabs updates.
+
+    Deviation from nerfacc, deliberately: EVERY cell decays every update
+    (a 2M-point elementwise multiply — free next to the MLP pass); only
+    the slab gets fresh sigma maxed in. nerfacc decays sampled cells
+    only, which with 1/4 sampling quadruples the empty-space prune time
+    constant — at our sigmoid density (~0.5 at init, never exactly 0)
+    that left the grid 100% occupied after 3k steps where the dense
+    update prunes to ~1%. Decay-everywhere keeps the dense update's
+    prune timescale bit-comparable; a cell's occ is max over past visits
+    of sigma * decay^(updates since visit), exactly what the dense
+    update computes when sigma only changes at visits. Both binarization
+    thresholds still use the full-grid mean.
+    """
+    res = grid.resolution
+    assert res % n_slabs == 0, (res, n_slabs)
+    slab = res // n_slabs
+    start = (update_idx % n_slabs) * slab
+    pts = _slab_centers(grid, start, slab)
+    if key is not None:
+        cell_size = (grid.aabb[3:] - grid.aabb[:3]) / res
+        pts = pts + (jax.random.uniform(key, pts.shape) - 0.5) * cell_size
+    sigma = sigma_fn(pts).reshape(slab, res, res)
+
+    def apply(g: OccupancyGrid, thre: float) -> OccupancyGrid:
+        occs = g.occs * ema_decay
+        old = jax.lax.dynamic_slice(occs, (start, 0, 0), (slab, res, res))
+        occs = jax.lax.dynamic_update_slice(
+            occs, jnp.maximum(old, sigma), (start, 0, 0)
+        )
+        thresh = jnp.minimum(jnp.mean(occs), thre)
+        return with_packed(
+            OccupancyGrid(occs=occs, binary=occs > thresh, aabb=g.aabb)
+        )
+
+    return apply(grid, occ_thre), apply(vessel_grid, vessel_thre)
+
+
 def every_n_step_pair(
     grid: OccupancyGrid,
     vessel_grid: OccupancyGrid,
@@ -171,22 +243,44 @@ def every_n_step_pair(
     n: int = 16,
     ema_decay: float = 0.95,
     key: jax.Array | None = None,
+    slabs: int = 1,
+    warmup_steps: int = 256,
 ) -> tuple[OccupancyGrid, OccupancyGrid]:
     """jit-safe every-n gate over update_grid_pair (both grids together).
-    ``key`` enables jittered cell evaluation (see update_grid_pair)."""
+    ``key`` enables jittered cell evaluation (see update_grid_pair).
+
+    ``slabs > 1`` switches to rotating-slab partial updates after
+    ``warmup_steps`` (nerfacc's warmup: every cell every update until the
+    field has taken shape, ~256 steps — then partial sampling)."""
     if grid.packed is None:
         grid = with_packed(grid)
     if vessel_grid.packed is None:
         vessel_grid = with_packed(vessel_grid)
     do = (step % n) == 0
-    return jax.lax.cond(
-        do,
-        lambda gs: update_grid_pair(
+
+    def full(gs):
+        return update_grid_pair(
             gs[0], gs[1], sigma_fn, occ_thre, vessel_thre, ema_decay, key=key
-        ),
-        lambda gs: gs,
-        (grid, vessel_grid),
-    )
+        )
+
+    if slabs <= 1 or grid.resolution % slabs:
+        # non-divisible resolutions (tiny test grids) degrade to dense
+        update = full
+    else:
+
+        def update(gs):
+            return jax.lax.cond(
+                step < warmup_steps,
+                full,
+                lambda gs: update_grid_pair_slab(
+                    gs[0], gs[1], sigma_fn, occ_thre, vessel_thre,
+                    update_idx=step // n, n_slabs=slabs,
+                    ema_decay=ema_decay, key=key,
+                ),
+                gs,
+            )
+
+    return jax.lax.cond(do, update, lambda gs: gs, (grid, vessel_grid))
 
 
 def every_n_step(
@@ -556,15 +650,7 @@ def march_rays(
         )
 
     k = compact_k
-    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    score = mask * (2 * n_samples - order).astype(jnp.float32)
-    # the top-k VALUES already encode activity (score > 0 <=> mask == 1 at
-    # that sample, since 2n - order > 0 always), so carrying them through
-    # the along-ray reorder replaces the (R, k, n) one-hot mask einsum AND
-    # the separate index sort with one sort_key_val — bit-identical mask_k
-    vals, sel = jax.lax.top_k(score, k)
-    sel, vals = jax.lax.sort_key_val(sel, vals, dimension=-1)
-    mask_k = (vals > 0.0).astype(jnp.float32)
+    sel, mask_k = _first_k_active(mask, k)
 
     sel_f = sel.astype(jnp.float32)
     t_starts_k = near + sel_f * step
@@ -578,11 +664,32 @@ def march_rays(
     )
 
 
+def _first_k_active(
+    mask: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sel, mask_k): indices + activity of the first k active samples.
+
+    ONE int32 sort of keys = index (active) | index + w (inactive): the
+    first k sorted keys are the first actives in along-ray order followed
+    by index-ordered inactive padding (mask 0 — excluded from the render
+    regardless of position). Measured 0.70 ms vs 0.88 for top_k +
+    sort_key_val at the flagship (5625, 160, k=80) shape on v5e.
+    """
+    w = mask.shape[-1]
+    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    keys = jnp.where(mask > 0.5, order, order + w)
+    skeys = jax.lax.sort(keys, dimension=-1)[..., :k]
+    return skeys % w, (skeys < w).astype(jnp.float32)
+
+
 def hybrid_w_cap(k: int, n_samples: int) -> int:
-    """Candidate-window width for the hybrid march: twice the compaction
-    budget, floored at 160 so a modest k still covers multi-branch spans
-    (the flagship bench measures span 157 at active width 69)."""
-    return min(n_samples, max(2 * k, 160))
+    """Candidate-window width for the hybrid march: covers the measured
+    multi-branch spans (the flagship bench measures span ~157 at active
+    width ~70 — hence the 160 floor) with headroom once k itself grows.
+    Decoupled from 2*k (round-2 formula): the fine-probe count is
+    w_cap/occ_stride, so tying w_cap to k made a jitter-induced k bump
+    80->88 also pay +10% fine gathers for no coverage reason."""
+    return min(n_samples, max(k + 32, 160))
 
 
 def march_rays_hybrid(
@@ -646,15 +753,8 @@ def march_rays_hybrid(
         occupied = query_occ(grid, positions)
     mask = (in_box & occupied & any_hit[..., None]).astype(jnp.float32)
 
-    # top-k over the w_cap candidates (first-k-active, as march_rays).
-    # The top-k VALUES encode activity (score > 0 <=> active), so one
-    # sort_key_val both restores along-ray ordering and yields mask_k —
-    # no (R, k, w_cap) one-hot einsum, no second sort (bit-identical).
-    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    score = mask * (2 * w_cap - order).astype(jnp.float32)
-    vals, sel = jax.lax.top_k(score, k)
-    sel, vals = jax.lax.sort_key_val(sel, vals, dimension=-1)  # (R, k) relative
-    mask_k = (vals > 0.0).astype(jnp.float32)
+    # first-k-active over the w_cap candidates (as march_rays)
+    sel, mask_k = _first_k_active(mask, k)  # (R, k) relative
 
     abs_sel = (w[..., None] + sel).astype(jnp.float32)
     t_starts_k = near + abs_sel * step

@@ -42,8 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # points per kernel tile (the lane axis); activations per layer are
-# (F, TILE) bf16 in VMEM: 1 MB at F=128 — backward keeps n_layers+1 of them.
-TILE = 4096
+# (F, TILE) bf16 in VMEM: 1.5 MB at F=128/TILE=6144 — backward keeps
+# n_layers+1 of them. Swept on v5e (tools/bench_mlp_tile.py): 6144 > 4096
+# ~ 5120 fwd+bwd; 8192 fails to compile (VMEM).
+TILE = 6144
+# independent point-chains evaluated interleaved within one kernel tile:
+# the forward is partially VPU-bound (bias+relu+casts between matmuls —
+# measured 47 TF/s vs 197 peak), and two dependency chains let the
+# scheduler hide one chain's VPU work under the other's MXU matmuls.
+CHAINS = 2
 _IN_PAD = 8  # input features (3 coords) padded to one f32 sublane tile
 
 
@@ -76,47 +83,57 @@ def _prep_params(params: Sequence[tuple[jnp.ndarray, jnp.ndarray]]):
     return flat, len(hidden), f
 
 
-def _fwd_kernel(n_hidden, x_ref, *refs):
+def _fwd_kernel(n_hidden, chains, x_ref, *refs):
     out_ref = refs[-1]
     w_in, b_in = refs[0], refs[1]
-    x_bf = x_ref[:].astype(jnp.bfloat16)  # (8, TILE)
-    h = jnp.dot(w_in[:], x_bf, preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)  # (F, TILE)
+    t = x_ref.shape[1] // chains
+    xs = [
+        x_ref[:, c * t : (c + 1) * t].astype(jnp.bfloat16) for c in range(chains)
+    ]
+    hs = [jnp.dot(w_in[:], x, preferred_element_type=jnp.float32) for x in xs]
+    hs = [jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16) for h in hs]
     for li in range(n_hidden):
         w, b = refs[2 + 2 * li], refs[3 + 2 * li]
-        h = jnp.dot(w[:], h, preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
+        hs = [jnp.dot(w[:], h, preferred_element_type=jnp.float32) for h in hs]
+        hs = [jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16) for h in hs]
     w_out, b_out = refs[2 + 2 * n_hidden], refs[3 + 2 * n_hidden]
-    # output head as a sublane reduce: (F, TILE) * (F, 1) summed over F
-    raw = jnp.sum(h.astype(jnp.float32) * w_out[:], axis=0, keepdims=True)
-    out_ref[:] = raw + b_out[0, 0]
+    # output head as a sublane reduce: (F, t) * (F, 1) summed over F
+    for c in range(chains):
+        raw = jnp.sum(hs[c].astype(jnp.float32) * w_out[:], axis=0, keepdims=True)
+        out_ref[:, c * t : (c + 1) * t] = raw + b_out[0, 0]
 
 
-def _bwd_kernel(n_hidden, x_ref, g_ref, *refs):
+def _bwd_kernel(n_hidden, chains, x_ref, g_ref, *refs):
     """Recompute activations, backprop, accumulate dW/db across grid steps.
 
     All gradients are produced in the TRANSPOSED (feature-major) orientation
     and un-transposed once at repack time (cheap F x F XLA transposes).
+    ``chains`` independent point-chains run interleaved (see CHAINS); their
+    dW/db contributions sum in-kernel before the cross-tile accumulate.
     """
     n_params = 2 * (n_hidden + 2)
     param_refs = refs[:n_params]
     grad_refs = refs[n_params:]
     w_in, b_in = param_refs[0], param_refs[1]
     w_out = param_refs[2 + 2 * n_hidden]
+    t = x_ref.shape[1] // chains
+    cs = range(chains)
 
-    # --- recompute forward, activations held as (F, TILE) bf16 in VMEM ---
-    x_bf = x_ref[:].astype(jnp.bfloat16)
-    acts = []
-    h = jnp.dot(w_in[:], x_bf, preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
-    acts.append(h)
+    # --- recompute forward, activations held as (F, t) bf16 per chain ---
+    xs = [x_ref[:, c * t : (c + 1) * t].astype(jnp.bfloat16) for c in cs]
+    acts = [[] for _ in cs]
+    hs = [jnp.dot(w_in[:], x, preferred_element_type=jnp.float32) for x in xs]
+    hs = [jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16) for h in hs]
+    for c in cs:
+        acts[c].append(hs[c])
     for li in range(n_hidden):
         w, b = param_refs[2 + 2 * li], param_refs[3 + 2 * li]
-        h = jnp.dot(w[:], h, preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
-        acts.append(h)
+        hs = [jnp.dot(w[:], h, preferred_element_type=jnp.float32) for h in hs]
+        hs = [jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16) for h in hs]
+        for c in cs:
+            acts[c].append(hs[c])
 
-    g = g_ref[:]  # (1, TILE) dL/draw
+    gs = [g_ref[:, c * t : (c + 1) * t] for c in cs]  # (1, t) dL/draw
 
     is_first = pl.program_id(0) == 0
 
@@ -129,59 +146,97 @@ def _bwd_kernel(n_hidden, x_ref, g_ref, *refs):
         def _():
             ref[:] = ref[:] + val
 
+    def chain_sum(vals):
+        out = vals[0]
+        for v in vals[1:]:
+            out = out + v
+        return out
+
     # output head: raw = sum_F(h_L * w_out) + b_out
-    h_last = acts[-1]
     acc(
         grad_refs[2 + 2 * n_hidden],
-        jnp.sum(h_last.astype(jnp.float32) * g, axis=1, keepdims=True),  # (F,1)
+        chain_sum([
+            jnp.sum(acts[c][-1].astype(jnp.float32) * gs[c], axis=1, keepdims=True)
+            for c in cs
+        ]),  # (F, 1)
     )
-    acc(grad_refs[3 + 2 * n_hidden], jnp.sum(g, keepdims=True).reshape(1, 1))
-    dh = (w_out[:] * g).astype(jnp.bfloat16)  # (F, TILE) broadcast outer product
+    acc(
+        grad_refs[3 + 2 * n_hidden],
+        chain_sum([jnp.sum(gs[c], keepdims=True).reshape(1, 1) for c in cs]),
+    )
+    dhs = [(w_out[:] * gs[c]).astype(jnp.bfloat16) for c in cs]  # (F, t)
 
     # hidden layers, reversed (dz/dh stay bf16; accumulators f32)
     for li in range(n_hidden - 1, -1, -1):
         # compare in f32 — Mosaic rejects bf16 cmpf on this target
-        z_mask = (acts[li + 1].astype(jnp.float32) > 0).astype(jnp.bfloat16)
-        dz = dh * z_mask  # (F, TILE)
-        a_prev = acts[li]
-        # dWt = dz @ a_prev^T : contract the TILE axis (K = TILE, ideal MXU)
-        dwt = jax.lax.dot_general(
-            dz, a_prev,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dzs = [
+            dhs[c]
+            * (acts[c][li + 1].astype(jnp.float32) > 0).astype(jnp.bfloat16)
+            for c in cs
+        ]
+        # dWt = dz @ a_prev^T : contract the point axis (K = t, ideal MXU)
+        acc(
+            grad_refs[2 + 2 * li],
+            chain_sum([
+                jax.lax.dot_general(
+                    dzs[c], acts[c][li],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for c in cs
+            ]),
         )
-        acc(grad_refs[2 + 2 * li], dwt)
         acc(
             grad_refs[3 + 2 * li],
-            jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True),
+            chain_sum([
+                jnp.sum(dzs[c].astype(jnp.float32), axis=1, keepdims=True)
+                for c in cs
+            ]),
         )
         wt = param_refs[2 + 2 * li]
         # dh_prev = Wt^T @ dz : contract the F-out axis (sublanes)
-        dh = jax.lax.dot_general(
-            wt[:], dz,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        dhs = [
+            jax.lax.dot_general(
+                wt[:], dzs[c],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            for c in cs
+        ]
 
     # input layer
-    z_mask = (acts[0].astype(jnp.float32) > 0).astype(jnp.bfloat16)
-    dz = dh * z_mask
-    dw_in_t = jax.lax.dot_general(
-        dz, x_bf,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (F, 8)
-    acc(grad_refs[0], dw_in_t)
-    acc(grad_refs[1], jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True))
+    dzs = [
+        dhs[c] * (acts[c][0].astype(jnp.float32) > 0).astype(jnp.bfloat16)
+        for c in cs
+    ]
+    acc(
+        grad_refs[0],
+        chain_sum([
+            jax.lax.dot_general(
+                dzs[c], xs[c],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for c in cs
+        ]),  # (F, 8)
+    )
+    acc(
+        grad_refs[1],
+        chain_sum([
+            jnp.sum(dzs[c].astype(jnp.float32), axis=1, keepdims=True)
+            for c in cs
+        ]),
+    )
 
     # input gradient dx = W_in @ dz — needed when positions are themselves
     # differentiable (pose refinement: origins carry learnable shifts)
     dx_ref = grad_refs[-1]
-    dx_ref[:] = jax.lax.dot_general(
-        w_in[:], dz,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (8, TILE)
+    for c in cs:
+        dx_ref[:, c * t : (c + 1) * t] = jax.lax.dot_general(
+            w_in[:], dzs[c],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, t)
 
 
 def _run_fwd(flat_params, n_hidden, f, x_pad, interpret):
@@ -191,7 +246,7 @@ def _run_fwd(flat_params, n_hidden, f, x_pad, interpret):
         for p in flat_params
     ]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_hidden),
+        functools.partial(_fwd_kernel, n_hidden, CHAINS),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
@@ -220,7 +275,7 @@ def _run_bwd(flat_params, n_hidden, f, x_pad, g_pad, interpret):
         pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_hidden),
+        functools.partial(_bwd_kernel, n_hidden, CHAINS),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),

@@ -59,10 +59,21 @@ class TrainConfig:
     # jitter the grid-update evaluation points uniformly inside each cell
     # (nerfacc's anti-aliasing cell sampling, ops/occupancy.py::update_grid).
     # Prevents thin structures near cell boundaries from aliasing onto the
-    # exact-center lattice; the EMA max over successive jittered updates
-    # covers the cell volume. Quality-neutral at the 128^3 flagship
-    # (CT vessels are multi-cell wide — see benchmarks/QUALITY.md).
-    grid_jitter: bool = True
+    # exact-center lattice. Default OFF at the 128^3 flagship: the jittered
+    # EMA max grows the occupied set by a surface shell (~0.0071 -> 0.0093
+    # occupancy measured at bench), fattening compaction k 80 -> 88 and the
+    # hybrid probe window 160 -> 224 for ~8% throughput — while CT vessels
+    # span multiple cells, so center sampling cannot miss them (held-out
+    # PSNR parity measured in benchmarks/MFU.md's jitter column). Enable
+    # for sub-cell structures.
+    grid_jitter: bool = False
+    # partial grid updates: 1 = dense (every cell every update), N > 1 =
+    # rotating 1/N x-slab per update after a 256-step full-update warmup
+    # (nerfacc's partial-cell sampling, ops/occupancy.py::
+    # update_grid_pair_slab). The dense 2x128^3-point sigma pass costs
+    # ~one training step per cadence; slabs=4 cuts that ~4x with full
+    # coverage every 4 updates and identical per-evaluation EMA decay.
+    grid_update_slabs: int = 4
     # 0 = always-dense lattice; k > 0 enables nerfacc-style empty-space
     # skipping: the train loop switches to a stepper that gathers only the
     # first k grid-occupied samples per ray ONCE the grid has pruned enough
@@ -89,6 +100,12 @@ class TrainConfig:
     # The training loop auto-falls back window -> hybrid -> lattice by the
     # measured lossless width (choose_compact_mode).
     march_mode: str = "window"
+    # hybrid-march candidate-window width; 0 = the static formula
+    # (ops/occupancy.py::hybrid_w_cap). The training loop sizes it from
+    # the measured worst-ray span (train.py::hybrid_w_cap_for) so a
+    # jitter-fattened grid pays a few extra fine probes instead of
+    # falling through to the slower lattice march.
+    hybrid_w_cap: int = 0
     # how often (iters) the loop checks whether the grid has pruned enough
     # to engage the compacted stepper. The dense phase runs at ~1/4 of the
     # compacted throughput, so checking only at display_every cadence (the

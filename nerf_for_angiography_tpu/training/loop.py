@@ -215,16 +215,18 @@ def train(
     using_compact = False
     compact_mode: str | None = None
     compact_k = 0
+    compact_wcap = 0  # hybrid candidate window (0 = mode has none)
     want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
     _stepper_cache: dict = {}
 
     def _compact_entry():
-        key = (compact_mode, compact_k)
+        key = (compact_mode, compact_k, compact_wcap)
         entry = _stepper_cache.get(key)
         if entry is None:
             entry = {
                 "cfg": dataclasses.replace(
-                    cfg, march_mode=compact_mode, compact_samples=compact_k
+                    cfg, march_mode=compact_mode, compact_samples=compact_k,
+                    hybrid_w_cap=compact_wcap,
                 ),
                 "step": None,
                 "chunk": None,
@@ -340,14 +342,14 @@ def train(
                 cfg, state.grid, test.origins, test.directions, near, far
             )
             if choice is not None:
-                compact_mode, width = choice
+                compact_mode, width, compact_wcap = choice
                 compact_k = compact_k_for(width, cfg)
                 using_compact = True
                 if verbose:
                     print(
                         f"switching to compacted stepper at iter {n_iter} "
                         f"(march_mode={compact_mode}, needed width/ray "
-                        f"{width} -> k={compact_k})"
+                        f"{width} -> k={compact_k}, w_cap={compact_wcap})"
                     )
 
         if n_iter % cfg.display_every == 0:
@@ -369,17 +371,26 @@ def train(
                             "(no compacted mode fits the evolved grid)"
                         )
                 else:
-                    mode2, width2 = choice
+                    mode2, width2, wcap2 = choice
                     k2 = compact_k_for(width2, cfg)
-                    if mode2 != compact_mode or k2 > compact_k:
-                        # lazy + cached: a previously-seen (mode, k) pair
-                        # reuses its compiled steppers (no recompile)
-                        compact_mode, compact_k = mode2, k2
+                    if mode2 == compact_mode:
+                        # same mode: only GROW k / w_cap (a shrink would
+                        # recompile for no correctness reason)
+                        k2 = max(k2, compact_k)
+                        wcap2 = max(wcap2, compact_wcap)
+                    if (
+                        mode2 != compact_mode
+                        or k2 > compact_k
+                        or wcap2 > compact_wcap
+                    ):
+                        # lazy + cached: a previously-seen (mode, k, w_cap)
+                        # tuple reuses its compiled steppers (no recompile)
+                        compact_mode, compact_k, compact_wcap = mode2, k2, wcap2
                         if verbose:
                             print(
                                 f"retuning compacted stepper at iter {n_iter} "
                                 f"(march_mode={compact_mode}, width {width2} "
-                                f"-> k={compact_k})"
+                                f"-> k={compact_k}, w_cap={compact_wcap})"
                             )
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])

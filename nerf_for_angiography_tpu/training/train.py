@@ -33,7 +33,6 @@ from ..ops.occupancy import (
     create_grid,
     every_n_step,
     every_n_step_pair,
-    hybrid_w_cap,
     march_rays,
     march_rays_hybrid,
     march_rays_window,
@@ -276,7 +275,8 @@ def _march_for(
     if compacting and cfg.march_mode == "hybrid":
         return march_rays_hybrid(
             grid, origins, directions, cfg.depth_samples_per_ray, near, far,
-            k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
+            k=cfg.compact_samples, w_cap=cfg.hybrid_w_cap or None,
+            aabb_extent=2 * cfg.outside,
             occ_stride=safe_occ_stride(
                 cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
                 2 * cfg.outside, cfg.grid_resolution,
@@ -336,9 +336,10 @@ def compact_switch_width(
     'lattice' mode keeps the first k ACTIVE samples: width = max active
     count. 'window' mode keeps k CONSECUTIVE samples from the conservative
     window start: width = max over rays of (last active - window start + 1).
-    'hybrid' keeps k active samples within a w_cap window: width = max
-    active count when every ray's window span fits hybrid_w_cap (at the k
-    that active count implies), else n_samples (never engages).
+    'hybrid' keeps k active samples within a span-sized w_cap window:
+    width = max active count when the span-derived window stays cheaper
+    than the lattice march (hybrid_w_cap_for <= _max_hybrid_w_cap), else
+    n_samples (never engages).
     """
     mode = cfg.march_mode if mode is None else mode
     n = cfg.depth_samples_per_ray
@@ -359,12 +360,54 @@ def compact_switch_width(
         step_sz = (far - near) / n
         w0 = np.round((np.asarray(t0) - near) / step_sz).astype(np.int64)
         return int(np.where(has, last - w0 + 1, 0).max())
-    # hybrid: span measured from the w_cap-clamped window start
-    start = win_fn(grid, origins, directions)
-    wcap = hybrid_w_cap(compact_k_for(ac, cfg), n)
-    w0 = np.clip(np.asarray(start), 0, max(n - wcap, 0))
-    span = int(np.where(has, last - w0 + 1, 0).max())
-    return ac if span <= wcap else n
+    # hybrid: engages when the span-sized candidate window stays worth it
+    ac, span = _hybrid_stats(grid, origins, directions, n, near, far,
+                             extent, dm)
+    return ac if hybrid_w_cap_for(span, n) <= _max_hybrid_w_cap(n) else n
+
+
+def _hybrid_stats(grid, origins, directions, n, near, far, extent, dm):
+    """(max active count, worst-ray span from the coarse-window start) —
+    the two numbers that size the hybrid march (k and w_cap). The span is
+    measured from the UNCLAMPED window start: march_rays_hybrid's far-end
+    clamp (w = clip(start, 0, n - w_cap)) only moves the window earlier,
+    so start-based span <= w_cap guarantees coverage."""
+    _, win_fn = _jitted_probes(n, near, far, extent)
+    ac = int(dm.sum(-1).max())
+    has = dm.any(-1)
+    last = dm.shape[-1] - 1 - np.argmax(dm[:, ::-1], -1)
+    start = np.clip(np.asarray(win_fn(grid, origins, directions)), 0, None)
+    span = int(np.where(has, last - start + 1, 0).max())
+    return ac, span
+
+
+def hybrid_w_cap_for(span: int, n_samples: int) -> int:
+    """Adaptive hybrid candidate window: the measured worst-ray span plus
+    the same 15% grid-evolution margin as compact_k_for, bucketed to 32
+    (compiled steppers are cached per (mode, k, w_cap) — coarse buckets
+    bound tunnel recompiles), floored at hybrid_w_cap's static 160.
+    Round-2 used the static formula only; jittered grid updates fatten
+    spans past 160 at the flagship bench, and a fixed cap made the chain
+    fall through to the ~20% slower lattice march instead of paying a few
+    extra fine probes."""
+    return min(n_samples, max(160, -(-int(span * 1.15) // 32) * 32))
+
+
+def _max_hybrid_w_cap(n_samples: int) -> int:
+    """Beyond ~3/4 of the lattice the hybrid's fine-probe count approaches
+    the lattice march's while still paying the coarse-window pass — let
+    the chain fall through to 'lattice' there."""
+    return max(160, (3 * n_samples) // 4)
+
+
+class CompactChoice(NamedTuple):
+    """Compacted-march tuning from the chooser's probe: the mode, the
+    measured lossless active width (sizes k via compact_k_for), and for
+    'hybrid' the span-sized candidate window (0 = mode has no window)."""
+
+    mode: str
+    width: int
+    w_cap: int = 0
 
 
 def choose_compact_mode(
@@ -374,19 +417,21 @@ def choose_compact_mode(
     directions: jnp.ndarray,
     near: float,
     far: float,
-) -> tuple[str, int] | None:
+) -> CompactChoice | None:
     """Pick the cheapest compacted march that renders these rays losslessly
     at k = cfg.compact_samples, or None if none fits yet.
 
     'window' needs the active SPAN (incl. gaps) to fit k; rays crossing
     several vessel branches have spans far above their active counts, so it
-    falls back to 'lattice' (top-k on active samples) before giving up —
-    measured at the flagship bench the worst-ray span is ~157 vs an active
-    count that fits 96, so the fallback is what actually engages there.
+    falls back to 'hybrid' (span-sized candidate window) and finally
+    'lattice' (top-k on active samples) before giving up — measured at the
+    flagship bench the worst-ray span is ~157-180 vs an active count that
+    fits 96, so hybrid is what actually engages there.
     """
     if not (0 < cfg.compact_samples < cfg.depth_samples_per_ray):
         return None
     budget = int(0.9 * cfg.compact_samples)
+    n = cfg.depth_samples_per_ray
     chains = {
         "window": ("window", "hybrid", "lattice"),
         "hybrid": ("hybrid", "lattice"),
@@ -394,27 +439,36 @@ def choose_compact_mode(
     modes = chains.get(cfg.march_mode, (cfg.march_mode,))
     # ONE dense probe march shared across the whole mode chain (it is the
     # expensive part of the check — previously re-run per mode)
-    probe_fn, _ = _jitted_probes(
-        cfg.depth_samples_per_ray, near, far, 2 * cfg.outside
-    )
+    probe_fn, _ = _jitted_probes(n, near, far, 2 * cfg.outside)
     dm = np.asarray(probe_fn(grid, origins, directions)) > 0
     for mode in modes:
+        if mode == "hybrid":
+            ac, span = _hybrid_stats(
+                grid, origins, directions, n, near, far, 2 * cfg.outside, dm
+            )
+            wcap = hybrid_w_cap_for(span, n)
+            if ac <= budget and wcap <= _max_hybrid_w_cap(n):
+                return CompactChoice("hybrid", ac, wcap)
+            continue
         w = compact_switch_width(
             cfg, grid, origins, directions, near, far, mode, dense_mask=dm
         )
         if w <= budget:
-            return mode, w
+            return CompactChoice(mode, w)
     return None
 
 
 def compact_k_for(width: int, cfg: TrainConfig) -> int:
     """Runtime compaction width: the measured lossless width plus a 15%
     margin for grid evolution between re-checks, rounded up to a multiple
-    of 16 (keeps the sample axis lane-friendly), capped at the configured
-    budget. The compacted step's MLP cost is linear in k, so sizing k to
-    the measured width instead of always paying cfg.compact_samples is a
-    direct throughput win (96 -> ~80 at the flagship bench)."""
-    k = int(np.ceil(width * 1.15 / 16)) * 16
+    of 8 (f32 sublane tile), capped at the configured budget. The
+    compacted step's MLP cost is linear in k, so sizing k to the measured
+    width instead of always paying cfg.compact_samples is a direct
+    throughput win. (Round 2 rounded to 16 for the one-hot mask einsum's
+    lane axis; that einsum is gone — sort_key_val compaction — and the
+    coarser bucket cost a full 80->96 jump when jittered grid updates
+    nudged the measured width from 69 to 73.)"""
+    k = int(np.ceil(width * 1.15 / 8)) * 8
     return max(16, min(k, cfg.compact_samples))
 
 
@@ -536,6 +590,7 @@ def _build_train_step(
             cfg.alpha_thre, cfg.vessel_alpha_thre,
             cfg.grid_update_every, cfg.grid_ema_decay,
             key=k_grid if cfg.grid_jitter else None,
+            slabs=cfg.grid_update_slabs,
         )
 
         # ray sampling on device (run_nerf_acc.py:275-280)

@@ -195,7 +195,12 @@ def test_compact_rays_truncation_is_early_stop_like():
 
 def test_march_compact_k_matches_standalone_compaction():
     """march_rays(compact_k) (zero-gather recompute) == compact_rays on the
-    dense lattice."""
+    dense lattice, on the ACTIVE samples. Padding placement differs by
+    design: the single-sort compaction (_first_k_active) emits actives
+    first then index-ordered padding, while compact_rays interleaves by
+    index — padding is mask=0 and every sample carries its own
+    [t, t+step) interval, so renders are identical either way (the
+    render-equality tests pin that)."""
     from nerf_for_angiography_tpu.ops import compact_rays
 
     g = create_grid(AABB, 32)
@@ -206,11 +211,21 @@ def test_march_compact_k_matches_standalone_compaction():
     k = 48
     a = compact_rays(dense, k)
     b = march_rays(g, o, d, 128, 1400.0, 1600.0, compact_k=k)
-    np.testing.assert_allclose(np.asarray(a.t_starts), np.asarray(b.t_starts), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(a.mask), np.asarray(b.mask), atol=1e-6)
-    np.testing.assert_allclose(
-        np.asarray(a.positions), np.asarray(b.positions), atol=1e-2
-    )
+    a_mask = np.asarray(a.mask)
+    b_mask = np.asarray(b.mask)
+    np.testing.assert_allclose(a_mask.sum(axis=-1), b_mask.sum(axis=-1))
+    for r in range(a_mask.shape[0]):
+        ai = a_mask[r] > 0.5
+        bi = b_mask[r] > 0.5
+        # actives agree in value AND along-ray order
+        np.testing.assert_allclose(
+            np.asarray(a.t_starts)[r, ai], np.asarray(b.t_starts)[r, bi],
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.positions)[r, ai], np.asarray(b.positions)[r, bi],
+            atol=1e-2,
+        )
 
 
 def test_occ_stride_mask_is_superset():
@@ -518,9 +533,13 @@ def test_hybrid_march_jittable_and_shapes():
 
 
 def test_hybrid_w_cap_rule():
+    # w_cap = min(n, max(k + 32, 160)): decoupled from 2*k so a jittered
+    # k bump doesn't inflate the fine-probe count (fine gathers scale
+    # with w_cap, not k)
     assert hybrid_w_cap(80, 300) == 160
-    assert hybrid_w_cap(96, 300) == 192
+    assert hybrid_w_cap(96, 300) == 160
     assert hybrid_w_cap(40, 300) == 160
+    assert hybrid_w_cap(160, 300) == 192  # headroom once k outgrows the floor
     assert hybrid_w_cap(96, 128) == 128  # capped at the lattice
 
 
@@ -549,9 +568,11 @@ def test_choose_compact_mode_falls_back_through_chain():
     )
     choice = choose_compact_mode(cfg, g, o, d, 1400.0, 1600.0)
     assert choice is not None
-    mode, width = choice
-    assert mode in ("hybrid", "lattice")  # window span ~270 cannot fit 96
-    assert width <= int(0.9 * 96)
+    assert choice.mode in ("hybrid", "lattice")  # window span ~270 can't fit 96
+    assert choice.width <= int(0.9 * 96)
+    if choice.mode == "hybrid":
+        # span-sized candidate window: covers the two-blob span, bucketed
+        assert choice.w_cap >= 160 and choice.w_cap % 32 == 0
 
 
 def test_update_grid_pair_matches_separate_updates():
@@ -572,6 +593,70 @@ def test_update_grid_pair_matches_separate_updates():
     np.testing.assert_array_equal(
         np.asarray(a_pair.packed), np.asarray(a_sep.packed)
     )
+
+
+def test_slab_updates_cover_grid_like_dense():
+    """Four consecutive rotating-slab updates == one dense update when the
+    EMA reduces to max-accumulation (decay=1.0): every cell is evaluated
+    exactly once per rotation, at the same centers."""
+    from nerf_for_angiography_tpu.ops import update_grid_pair, update_grid_pair_slab
+
+    g = create_grid(AABB, 32)
+    v = jax.tree.map(lambda x: jnp.array(x, copy=True), g)
+    fn = lambda p: sphere_sigma(p, radius=30.0)  # noqa: E731
+    a_dense, b_dense = update_grid_pair(g, v, fn, 1e-4, 5e-2, ema_decay=1.0)
+    a, b = g, v
+    for u in range(4):
+        a, b = update_grid_pair_slab(
+            a, b, fn, 1e-4, 5e-2, update_idx=jnp.int32(u), n_slabs=4,
+            ema_decay=1.0,
+        )
+    np.testing.assert_allclose(np.asarray(a.occs), np.asarray(a_dense.occs))
+    np.testing.assert_array_equal(np.asarray(a.binary), np.asarray(a_dense.binary))
+    np.testing.assert_array_equal(np.asarray(b.binary), np.asarray(b_dense.binary))
+    np.testing.assert_array_equal(np.asarray(a.packed), np.asarray(a_dense.packed))
+
+
+def test_slab_update_decays_everywhere_samples_slab_only():
+    """A slab update decays EVERY cell (preserving the dense update's
+    empty-space prune timescale — see the deviation note in
+    update_grid_pair_slab) but maxes fresh sigma in only on its slab."""
+    from nerf_for_angiography_tpu.ops import update_grid_pair_slab
+
+    g = create_grid(AABB, 32)
+    g = update_grid(g, lambda p: sphere_sigma(p, radius=30.0), occ_thre=1e-4)
+    v = jax.tree.map(lambda x: jnp.array(x, copy=True), g)
+    one = lambda p: jnp.ones(p.shape[:-1])  # noqa: E731
+    a, _ = update_grid_pair_slab(
+        g, v, one, 1e-4, 5e-2, update_idx=jnp.int32(1), n_slabs=4,
+        ema_decay=0.5,
+    )
+    occs0, occs1 = np.asarray(g.occs), np.asarray(a.occs)
+    np.testing.assert_allclose(occs1[:8], occs0[:8] * 0.5)  # decayed only
+    np.testing.assert_allclose(occs1[16:], occs0[16:] * 0.5)
+    np.testing.assert_allclose(occs1[8:16], 1.0)  # fresh sigma maxed in
+
+
+def test_every_n_step_pair_slab_warmup():
+    """step < warmup_steps runs the dense update even with slabs > 1."""
+    from nerf_for_angiography_tpu.ops import every_n_step_pair, update_grid_pair
+
+    g = create_grid(AABB, 32)
+    v = jax.tree.map(lambda x: jnp.array(x, copy=True), g)
+    fn = lambda p: sphere_sigma(p, radius=30.0)  # noqa: E731
+    a_dense, _ = update_grid_pair(g, v, fn, 1e-4, 5e-2)
+    a, _ = every_n_step_pair(
+        g, v, jnp.int32(16), fn, 1e-4, 5e-2, n=16, slabs=4, warmup_steps=256
+    )
+    np.testing.assert_allclose(np.asarray(a.occs), np.asarray(a_dense.occs))
+    # past warmup: only the rotating slab moves
+    a2, _ = every_n_step_pair(
+        g, v, jnp.int32(512), fn, 1e-4, 5e-2, n=16, slabs=4, warmup_steps=256
+    )
+    occs0, occs2 = np.asarray(g.occs), np.asarray(a2.occs)
+    start = (512 // 16) % 4 * 8
+    moved = np.any(occs2 != occs0, axis=(1, 2))
+    assert not moved[:start].any() and not moved[start + 8 :].any()
 
 
 def test_update_grid_pair_jitter_stays_in_cell():

@@ -38,6 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=450_000)
     ap.add_argument("--tiles", default="4096,5120,6144")
+    ap.add_argument("--chains", default="1,2")
     ap.add_argument("--enc", action="store_true", help="also bench enc kernels")
     args = ap.parse_args()
 
@@ -56,8 +57,16 @@ def main():
     flop_fwd = args.points * macs * 2
     out = {}
 
-    for tile in [int(t) for t in args.tiles.split(",")]:
+    import itertools
+
+    for tile, ch in itertools.product(
+        [int(t) for t in args.tiles.split(",")],
+        [int(c) for c in args.chains.split(",")],
+    ):
+        if tile % (128 * ch):
+            continue
         fm.TILE = tile
+        fm.CHAINS = ch
         try:
             t_f = timeit_on_device(
                 lambda i: jnp.sum(fm.fused_mlp_raw(plist, x + i * 1e-6))
@@ -71,15 +80,15 @@ def main():
                     jnp.float32(0.0),
                 )
             )
-            out[f"tile{tile}"] = {
+            out[f"tile{tile}c{ch}"] = {
                 "fwd_ms": round(t_f * 1e3, 4),
                 "fwdbwd_ms": round(t_fb * 1e3, 4),
                 "fwd_tfs": round(flop_fwd / t_f / 1e12, 1),
                 "fwdbwd_tfs": round(3 * flop_fwd / t_fb / 1e12, 1),
             }
         except Exception as e:  # noqa: BLE001 — report failed tiles
-            out[f"tile{tile}"] = {"error": str(e)[:200]}
-        print(json.dumps({f"tile{tile}": out[f"tile{tile}"]}), file=sys.stderr)
+            out[f"tile{tile}c{ch}"] = {"error": str(e)[:200]}
+        print(json.dumps({f"tile{tile}c{ch}": out[f"tile{tile}c{ch}"]}), file=sys.stderr)
 
     if args.enc:
         fm.TILE = 4096

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--sampling", default=None, help="sampling_impl override")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--display_every", type=int, default=500)
+    ap.add_argument(
+        "--jitter", action="store_true",
+        help="enable jittered grid-update evaluation points (grid_jitter)",
+    )
     args = ap.parse_args()
 
     from nerf_for_angiography_tpu.data import (
@@ -39,6 +43,8 @@ def main():
         kw["sampling_impl"] = args.sampling
     if args.seed is not None:
         kw["seed"] = args.seed
+    if args.jitter:
+        kw["grid_jitter"] = True
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -52,6 +58,17 @@ def main():
         f"last_psnr={res.last_psnr:.2f}; {res.rays_per_sec:.0f} rays/s "
         f"(march={cfg.march_mode}, mlp={cfg.mlp_backend})"
     )
+    import json
+
+    print("RESULT_JSON " + json.dumps({
+        "seed": cfg.seed,
+        "sampling": cfg.sampling_impl,
+        "jitter": cfg.grid_jitter,
+        "iters": args.iters,
+        "heldout_psnr": round(res.last_psnr, 3),
+        "vessel_psnr_best": round(res.best_psnr, 3),
+        "rays_per_sec": round(res.rays_per_sec),
+    }))
 
 
 if __name__ == "__main__":
