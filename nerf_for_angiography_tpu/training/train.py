@@ -382,15 +382,18 @@ def _hybrid_stats(grid, origins, directions, n, near, far, extent, dm):
 
 
 def hybrid_w_cap_for(span: int, n_samples: int) -> int:
-    """Adaptive hybrid candidate window: the measured worst-ray span plus
-    the same 15% grid-evolution margin as compact_k_for, bucketed to 32
-    (compiled steppers are cached per (mode, k, w_cap) — coarse buckets
-    bound tunnel recompiles), floored at hybrid_w_cap's static 160.
-    Round-2 used the static formula only; jittered grid updates fatten
-    spans past 160 at the flagship bench, and a fixed cap made the chain
-    fall through to the ~20% slower lattice march instead of paying a few
-    extra fine probes."""
-    return min(n_samples, max(160, -(-int(span * 1.15) // 32) * 32))
+    """Adaptive hybrid candidate window: the measured worst-ray span,
+    bucketed to 16 (compiled steppers are cached per (mode, k, w_cap) —
+    buckets bound tunnel recompiles), floored at hybrid_w_cap's static
+    160. NO grid-evolution margin, deliberately: the fine-probe count —
+    the step's top cost — scales with w_cap, and the loop re-measures and
+    GROWS w_cap at display cadence (training/loop.py), so a margin buys
+    nothing but gathers (a 15% margin measured 4.60 vs 4.46 ms/step at
+    the flagship bench: span 157 -> w_cap 192 instead of 160). Round-2
+    used a fixed 160; jittered grid updates fatten spans past 160, and a
+    fixed cap made the chain fall through to the ~20% slower lattice
+    march instead of paying a few extra fine probes."""
+    return min(n_samples, max(160, -(-int(span) // 16) * 16))
 
 
 def _max_hybrid_w_cap(n_samples: int) -> int:

@@ -196,8 +196,8 @@ def test_compact_rays_truncation_is_early_stop_like():
 def test_march_compact_k_matches_standalone_compaction():
     """march_rays(compact_k) (zero-gather recompute) == compact_rays on the
     dense lattice, on the ACTIVE samples. Padding placement differs by
-    design: the single-sort compaction (_first_k_active) emits actives
-    first then index-ordered padding, while compact_rays interleaves by
+    design: the sort-free compaction (_first_k_active) emits actives
+    first then clipped-index padding, while compact_rays interleaves by
     index — padding is mask=0 and every sample carries its own
     [t, t+step) interval, so renders are identical either way (the
     render-equality tests pin that)."""
@@ -226,6 +226,36 @@ def test_march_compact_k_matches_standalone_compaction():
             np.asarray(a.positions)[r, ai], np.asarray(b.positions)[r, bi],
             atol=1e-2,
         )
+
+
+def test_first_k_active_matches_sort_reference():
+    """The sort-free cumsum compaction (ops/occupancy.py::_first_k_active)
+    selects exactly the first k actives, in order, across random masks —
+    checked against the straightforward sorted-keys reference. Padding
+    slots (j >= #actives) may differ in index (clipped vs index-ordered)
+    but must agree on mask_k = 0."""
+    from nerf_for_angiography_tpu.ops.occupancy import _first_k_active
+
+    def sort_ref(mask, k):
+        w = mask.shape[-1]
+        order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+        keys = jnp.where(mask > 0.5, order, order + w)
+        skeys = jax.lax.sort(keys, dimension=-1)[..., :k]
+        return skeys % w, (skeys < w).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        r, w = int(rng.integers(1, 40)), int(rng.integers(2, 70))
+        k = int(rng.integers(1, w + 1))
+        mask = (rng.random((r, w)) < rng.random()).astype(np.float32)
+        s_sel, s_mk = sort_ref(jnp.array(mask), k)
+        c_sel, c_mk = _first_k_active(jnp.array(mask), k)
+        np.testing.assert_array_equal(np.asarray(s_mk), np.asarray(c_mk))
+        active = np.asarray(s_mk) > 0.5
+        np.testing.assert_array_equal(
+            np.asarray(s_sel)[active], np.asarray(c_sel)[active]
+        )
+        assert int(np.asarray(c_sel).max()) <= w - 1  # padding stays in range
 
 
 def test_occ_stride_mask_is_superset():
@@ -572,7 +602,7 @@ def test_choose_compact_mode_falls_back_through_chain():
     assert choice.width <= int(0.9 * 96)
     if choice.mode == "hybrid":
         # span-sized candidate window: covers the two-blob span, bucketed
-        assert choice.w_cap >= 160 and choice.w_cap % 32 == 0
+        assert choice.w_cap >= 160 and choice.w_cap % 16 == 0
 
 
 def test_update_grid_pair_matches_separate_updates():

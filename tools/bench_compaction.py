@@ -1,0 +1,76 @@
+"""Micro-bench the first-k-active compaction variants on the TPU.
+
+Compares (flagship shape R=5625, w=160, k=80):
+  * cumsum: broadcast compare+count (ops/occupancy.py::_first_k_active)
+  * sort:   single int32 sort of index|index+w keys
+  * topk:   top_k score + sort_key_val (round-2 implementation)
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tools.profile_step import timeit_on_device  # noqa: E402
+
+
+def cumsum_impl(mask, k):
+    w = mask.shape[-1]
+    rank = jnp.cumsum(mask, axis=-1)
+    j = jnp.arange(k, dtype=rank.dtype)
+    sel = jnp.sum((rank[..., :, None] <= j).astype(jnp.int32), axis=-2)
+    mask_k = (j < rank[..., -1:]).astype(jnp.float32)
+    return jnp.minimum(sel, w - 1), mask_k
+
+
+def sort_impl(mask, k):
+    w = mask.shape[-1]
+    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    keys = jnp.where(mask > 0.5, order, order + w)
+    skeys = jax.lax.sort(keys, dimension=-1)[..., :k]
+    return skeys % w, (skeys < w).astype(jnp.float32)
+
+
+def topk_impl(mask, k):
+    w = mask.shape[-1]
+    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    score = mask * (2 * w - order).astype(jnp.float32)
+    vals, sel = jax.lax.top_k(score, k)
+    sel, vals = jax.lax.sort_key_val(sel, vals, dimension=-1)
+    return sel, (vals > 0.0).astype(jnp.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=5625)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--k", type=int, default=80)
+    args = ap.parse_args()
+
+    key = jax.random.PRNGKey(0)
+    mask = (
+        jax.random.uniform(key, (args.rays, args.width)) < 0.45
+    ).astype(jnp.float32)
+
+    out = {}
+    for name, fn in [
+        ("cumsum", cumsum_impl), ("sort", sort_impl), ("topk", topk_impl)
+    ]:
+        t = timeit_on_device(
+            lambda i, fn=fn: (
+                lambda sm: sm[0].astype(jnp.float32).sum() + sm[1].sum()
+            )(fn(jnp.roll(mask, i, axis=0), args.k))
+        )
+        out[name] = round(t * 1e3, 4)
+        print(json.dumps({name + "_ms": out[name]}), file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,30 +104,28 @@ def main():
     results = {}
 
     # --- march variants ---
+    stride = safe_occ_stride(
+        cfg.occ_stride, n, near, far, 2 * cfg.outside, cfg.grid_resolution
+    )
     if args.mode == "window":
-        march = jax.jit(lambda g: march_rays_window(
-            g, o, d, n, near, far, k=args.k, aabb_extent=2 * cfg.outside))
+        march = lambda g, oo: march_rays_window(
+            g, oo, d, n, near, far, k=args.k, aabb_extent=2 * cfg.outside)
+    elif args.mode == "hybrid":
+        from nerf_for_angiography_tpu.ops.occupancy import march_rays_hybrid
+
+        march = lambda g, oo: march_rays_hybrid(
+            g, oo, d, n, near, far, k=args.k, occ_stride=stride,
+            aabb_extent=2 * cfg.outside)
     else:
-        stride = safe_occ_stride(
-            cfg.occ_stride, n, near, far, 2 * cfg.outside, cfg.grid_resolution
-        )
-        march = jax.jit(lambda g: march_rays(
-            g, o, d, n, near, far,
+        march = lambda g, oo: march_rays(
+            g, oo, d, n, near, far,
             compact_k=args.k if args.mode == "lattice" else None,
-            occ_stride=stride))
+            occ_stride=stride)
     print("stage: march", file=sys.stderr)
     grid = state.grid
-    if args.mode == "window":
-        march_i = lambda i: jnp.sum(march_rays_window(
-            grid, o + i * 1e-6, d, n, near, far, k=args.k,
-            aabb_extent=2 * cfg.outside).mask)
-    else:
-        march_i = lambda i: jnp.sum(march_rays(
-            grid, o + i * 1e-6, d, n, near, far,
-            compact_k=args.k if args.mode == "lattice" else None,
-            occ_stride=stride).mask)
+    march_i = lambda i: jnp.sum(march(grid, o + i * 1e-6).mask)
     results["march_ms"] = timeit_on_device(march_i) * 1e3
-    m = march(state.grid)
+    m = jax.jit(march)(state.grid, o)
     pts = m.positions.reshape(-1, 3)
 
     # --- MLP on the compacted points ---
