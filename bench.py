@@ -31,6 +31,9 @@ import time
 # the fused Pallas MLP (default on TPU) compiles through the axon tunnel's
 # remote-compile shim; must be set before backend init
 os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+# persistent XLA executable cache: identical programs (re-runs, seed
+# grids, the bench) skip the 4-12 s remote compiles entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp

@@ -17,6 +17,8 @@ import ast
 import os
 import sys
 
+# persistent XLA executable cache: re-runs skip remote compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

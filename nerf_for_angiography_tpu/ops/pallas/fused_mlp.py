@@ -51,7 +51,35 @@ TILE = 6144
 # measured 47 TF/s vs 197 peak), and two dependency chains let the
 # scheduler hide one chain's VPU work under the other's MXU matmuls.
 CHAINS = 2
+# output-head implementation: 'reduce' = f32 elementwise product + sublane
+# (axis-0) VPU reduction; 'dot' = one (8, F) bf16 MXU matmul whose row 0 is
+# w_out (sublane reductions are the forward kernel's profiled soft spot —
+# the backward, which has none, runs ~126 TF/s vs the forward's ~46).
+HEAD = "reduce"
 _IN_PAD = 8  # input features (3 coords) padded to one f32 sublane tile
+
+
+def _layer(w_ref, b_ref, h):
+    """One hidden layer: MXU matmul (f32 accumulate) + bias + relu, output
+    bf16. Shared by forward AND backward-recompute so activation bits (and
+    the relu masks derived from them) are identical by construction."""
+    z = jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32)
+    return jnp.maximum(z + b_ref[:], 0.0).astype(jnp.bfloat16)
+
+
+def _head(w_out_ref, b_out_ref, h):
+    """Output head: raw = sum_F(h * w_out) + b_out -> (1, t) f32."""
+    if HEAD == "dot":
+        # w_out packed as (8, F) bf16, row 0 live, rows 1-7 zero; h is
+        # already bf16 — one tiny MXU matmul replaces the sublane reduce
+        raw = jnp.dot(
+            w_out_ref[:], h, preferred_element_type=jnp.float32
+        )[0:1]
+    else:
+        raw = jnp.sum(
+            h.astype(jnp.float32) * w_out_ref[:], axis=0, keepdims=True
+        )
+    return raw + b_out_ref[0, 0]
 
 
 def _pad_points(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
@@ -90,17 +118,15 @@ def _fwd_kernel(n_hidden, chains, x_ref, *refs):
     xs = [
         x_ref[:, c * t : (c + 1) * t].astype(jnp.bfloat16) for c in range(chains)
     ]
-    hs = [jnp.dot(w_in[:], x, preferred_element_type=jnp.float32) for x in xs]
-    hs = [jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16) for h in hs]
+    hs = [_layer(w_in, b_in, x) for x in xs]
     for li in range(n_hidden):
         w, b = refs[2 + 2 * li], refs[3 + 2 * li]
-        hs = [jnp.dot(w[:], h, preferred_element_type=jnp.float32) for h in hs]
-        hs = [jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16) for h in hs]
+        hs = [_layer(w, b, h) for h in hs]
+    # head params sit after the hidden stack: (w_out, b_out) — in 'dot'
+    # mode w_out arrives pre-packed as (8, F) bf16 (see _run_fwd)
     w_out, b_out = refs[2 + 2 * n_hidden], refs[3 + 2 * n_hidden]
-    # output head as a sublane reduce: (F, t) * (F, 1) summed over F
     for c in range(chains):
-        raw = jnp.sum(hs[c].astype(jnp.float32) * w_out[:], axis=0, keepdims=True)
-        out_ref[:, c * t : (c + 1) * t] = raw + b_out[0, 0]
+        out_ref[:, c * t : (c + 1) * t] = _head(w_out, b_out, hs[c])
 
 
 def _bwd_kernel(n_hidden, chains, x_ref, g_ref, *refs):
@@ -120,16 +146,16 @@ def _bwd_kernel(n_hidden, chains, x_ref, g_ref, *refs):
     cs = range(chains)
 
     # --- recompute forward, activations held as (F, t) bf16 per chain ---
+    # (_layer shared with the forward kernel: identical activation bits,
+    # hence identical relu masks in the backprop below)
     xs = [x_ref[:, c * t : (c + 1) * t].astype(jnp.bfloat16) for c in cs]
     acts = [[] for _ in cs]
-    hs = [jnp.dot(w_in[:], x, preferred_element_type=jnp.float32) for x in xs]
-    hs = [jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16) for h in hs]
+    hs = [_layer(w_in, b_in, x) for x in xs]
     for c in cs:
         acts[c].append(hs[c])
     for li in range(n_hidden):
         w, b = param_refs[2 + 2 * li], param_refs[3 + 2 * li]
-        hs = [jnp.dot(w[:], h, preferred_element_type=jnp.float32) for h in hs]
-        hs = [jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16) for h in hs]
+        hs = [_layer(w, b, h) for h in hs]
         for c in cs:
             acts[c].append(hs[c])
 
@@ -241,6 +267,15 @@ def _bwd_kernel(n_hidden, chains, x_ref, g_ref, *refs):
 
 def _run_fwd(flat_params, n_hidden, f, x_pad, interpret):
     n_tiles = x_pad.shape[1] // TILE
+    if HEAD == "dot":
+        # repack the (F, 1) f32 w_out column as an (8, F) bf16 matrix with
+        # row 0 live — the head becomes one tiny MXU matmul in-kernel
+        w_out = flat_params[2 + 2 * n_hidden]
+        packed = jnp.zeros((_IN_PAD, f), jnp.bfloat16).at[0, :].set(
+            w_out[:, 0].astype(jnp.bfloat16)
+        )
+        flat_params = [*flat_params]
+        flat_params[2 + 2 * n_hidden] = packed
     param_specs = [
         pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
         for p in flat_params
@@ -410,12 +445,9 @@ def _fwd_kernel_enc(n_hidden, n_sin, x_ref, a_ref, w_ref, *refs):
     out_ref = refs[-1]
     w_in, b_in = refs[0], refs[1]
     enc, _ = _encode_tile(x_ref, a_ref, w_ref, n_sin)
-    h = jnp.dot(w_in[:], enc, preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
+    h = _layer(w_in, b_in, enc)
     for li in range(n_hidden):
-        w, b = refs[2 + 2 * li], refs[3 + 2 * li]
-        h = jnp.dot(w[:], h, preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
+        h = _layer(refs[2 + 2 * li], refs[3 + 2 * li], h)
     w_out, b_out = refs[2 + 2 * n_hidden], refs[3 + 2 * n_hidden]
     raw = jnp.sum(h.astype(jnp.float32) * w_out[:], axis=0, keepdims=True)
     out_ref[:] = raw + b_out[0, 0]
@@ -431,13 +463,10 @@ def _bwd_kernel_enc(n_hidden, n_sin, x_ref, g_ref, a_ref, w_ref, *refs):
 
     enc, v = _encode_tile(x_ref, a_ref, w_ref, n_sin)
     acts = []
-    h = jnp.dot(w_in[:], enc, preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b_in[:], 0.0).astype(jnp.bfloat16)
+    h = _layer(w_in, b_in, enc)
     acts.append(h)
     for li in range(n_hidden):
-        w, b = param_refs[2 + 2 * li], param_refs[3 + 2 * li]
-        h = jnp.dot(w[:], h, preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b[:], 0.0).astype(jnp.bfloat16)
+        h = _layer(param_refs[2 + 2 * li], param_refs[3 + 2 * li], h)
         acts.append(h)
 
     g = g_ref[:]

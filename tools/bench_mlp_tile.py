@@ -14,6 +14,9 @@ import sys
 import time
 
 os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+# persistent XLA executable cache: identical programs (re-runs, seed
+# grids, the bench) skip the 4-12 s remote compiles entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -39,6 +42,7 @@ def main():
     ap.add_argument("--points", type=int, default=450_000)
     ap.add_argument("--tiles", default="4096,5120,6144")
     ap.add_argument("--chains", default="1,2")
+    ap.add_argument("--heads", default="reduce", help="e.g. reduce,dot")
     ap.add_argument("--enc", action="store_true", help="also bench enc kernels")
     args = ap.parse_args()
 
@@ -59,14 +63,16 @@ def main():
 
     import itertools
 
-    for tile, ch in itertools.product(
+    for tile, ch, head in itertools.product(
         [int(t) for t in args.tiles.split(",")],
         [int(c) for c in args.chains.split(",")],
+        args.heads.split(","),
     ):
         if tile % (128 * ch):
             continue
         fm.TILE = tile
         fm.CHAINS = ch
+        fm.HEAD = head
         try:
             t_f = timeit_on_device(
                 lambda i: jnp.sum(fm.fused_mlp_raw(plist, x + i * 1e-6))
@@ -80,15 +86,15 @@ def main():
                     jnp.float32(0.0),
                 )
             )
-            out[f"tile{tile}c{ch}"] = {
+            out[f"tile{tile}c{ch}{head}"] = {
                 "fwd_ms": round(t_f * 1e3, 4),
                 "fwdbwd_ms": round(t_fb * 1e3, 4),
                 "fwd_tfs": round(flop_fwd / t_f / 1e12, 1),
                 "fwdbwd_tfs": round(3 * flop_fwd / t_fb / 1e12, 1),
             }
         except Exception as e:  # noqa: BLE001 — report failed tiles
-            out[f"tile{tile}c{ch}"] = {"error": str(e)[:200]}
-        print(json.dumps({f"tile{tile}c{ch}": out[f"tile{tile}c{ch}"]}), file=sys.stderr)
+            out[f"tile{tile}c{ch}{head}"] = {"error": str(e)[:200]}
+        print(json.dumps({f"tile{tile}c{ch}{head}": out[f"tile{tile}c{ch}{head}"]}), file=sys.stderr)
 
     if args.enc:
         fm.TILE = 4096

@@ -11,6 +11,9 @@ import os
 import sys
 
 os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+# persistent XLA executable cache: identical programs (re-runs, seed
+# grids, the bench) skip the 4-12 s remote compiles entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
