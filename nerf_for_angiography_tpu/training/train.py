@@ -293,30 +293,57 @@ def _march_for(
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_probes(n_samples: int, near: float, far: float, aabb_extent: float):
-    """Jitted device probes for the compact-mode chooser. Unjitted, every
-    march op is a separate dispatch through the tunnel (~1.3 ms each — a
-    dense march is ~30 ops); jitted it is one dispatch. lru-cached so the
-    production loop's periodic checks never re-trace."""
-    dense_mask = jax.jit(
-        lambda g, o, d: march_rays(g, o, d, n_samples, near, far).mask
-    )
-    win_start = jax.jit(
-        lambda g, o, d: coarse_window(
-            g, o, d, n_samples, near, far, aabb_extent=aabb_extent
-        )[0]
-    )
-    return dense_mask, win_start
+def _jitted_chooser_stats(
+    n: int, near: float, far: float, k: int, aabb_extent: float
+):
+    """ONE jitted device probe for the compact-mode chooser, reduced to
+    three int32 scalars on device:
 
+      ac    — max per-ray active sample count (lattice width)
+      span  — max per-ray (last active - coarse-window start + 1), the
+              hybrid candidate-window requirement. Measured from the
+              UNCLAMPED window start: march_rays_hybrid's far-end clamp
+              (w = clip(start, 0, n - w_cap)) only moves the window
+              earlier, so start-based span <= w_cap guarantees coverage
+      win_w — max per-ray (last active - k-window start + 1), the
+              'window' mode width
 
-@functools.lru_cache(maxsize=32)
-def _jitted_window_t0(n_samples: int, near: float, far: float,
-                      k: int, aabb_extent: float):
-    return jax.jit(
-        lambda g, o, d: march_rays_window(
-            g, o, d, n_samples, near, far, k=k, aabb_extent=aabb_extent
+    Unjitted, every march op is a separate dispatch through the tunnel
+    (~1.3 ms each); worse, the previous implementation shipped the whole
+    (R, n_samples) dense mask to the host per check — ~12 MB through the
+    tunnel at eval cadence. Reduced on device, the transfer is 12 bytes.
+    lru-cached so the production loop's periodic checks never re-trace."""
+
+    def stats(g, o, d):
+        dm = march_rays(g, o, d, n, near, far).mask > 0
+        ac = jnp.max(jnp.sum(dm, axis=-1))
+        has = jnp.any(dm, axis=-1)
+        last = dm.shape[-1] - 1 - jnp.argmax(dm[..., ::-1], axis=-1)
+        start = jnp.maximum(
+            coarse_window(g, o, d, n, near, far, aabb_extent=aabb_extent)[0],
+            0,
+        )
+        span = jnp.max(jnp.where(has, last - start + 1, 0))
+        t0 = march_rays_window(
+            g, o, d, n, near, far, k=k, aabb_extent=aabb_extent
         ).t_starts[:, 0]
+        step_sz = (far - near) / n
+        w0 = jnp.round((t0 - near) / step_sz).astype(jnp.int32)
+        win_w = jnp.max(jnp.where(has, last - w0 + 1, 0))
+        return jnp.stack(
+            [ac.astype(jnp.int32), span.astype(jnp.int32), win_w.astype(jnp.int32)]
+        )
+
+    return jax.jit(stats)
+
+
+def _chooser_stats(cfg, grid, origins, directions, near, far):
+    fn = _jitted_chooser_stats(
+        cfg.depth_samples_per_ray, near, far, cfg.compact_samples,
+        2 * cfg.outside,
     )
+    ac, span, win_w = (int(v) for v in np.asarray(fn(grid, origins, directions)))
+    return ac, span, win_w
 
 
 def compact_switch_width(
@@ -327,7 +354,6 @@ def compact_switch_width(
     near: float,
     far: float,
     mode: str | None = None,
-    dense_mask: np.ndarray | None = None,
 ) -> int:
     """Max per-ray sample width the compacted stepper would need to render
     these rays losslessly — the auto-switch criterion (switch when this is
@@ -343,42 +369,12 @@ def compact_switch_width(
     """
     mode = cfg.march_mode if mode is None else mode
     n = cfg.depth_samples_per_ray
-    extent = 2 * cfg.outside
-    probe_fn, win_fn = _jitted_probes(n, near, far, extent)
-    if dense_mask is None:
-        dense_mask = np.asarray(probe_fn(grid, origins, directions)) > 0
-    dm = dense_mask
-    ac = int(dm.sum(-1).max())
+    ac, span, win_w = _chooser_stats(cfg, grid, origins, directions, near, far)
     if mode == "lattice":
         return ac
-    has = dm.any(-1)
-    last = dm.shape[-1] - 1 - np.argmax(dm[:, ::-1], -1)
     if mode == "window":
-        t0 = _jitted_window_t0(n, near, far, cfg.compact_samples, extent)(
-            grid, origins, directions
-        )
-        step_sz = (far - near) / n
-        w0 = np.round((np.asarray(t0) - near) / step_sz).astype(np.int64)
-        return int(np.where(has, last - w0 + 1, 0).max())
-    # hybrid: engages when the span-sized candidate window stays worth it
-    ac, span = _hybrid_stats(grid, origins, directions, n, near, far,
-                             extent, dm)
+        return win_w
     return ac if hybrid_w_cap_for(span, n) <= _max_hybrid_w_cap(n) else n
-
-
-def _hybrid_stats(grid, origins, directions, n, near, far, extent, dm):
-    """(max active count, worst-ray span from the coarse-window start) —
-    the two numbers that size the hybrid march (k and w_cap). The span is
-    measured from the UNCLAMPED window start: march_rays_hybrid's far-end
-    clamp (w = clip(start, 0, n - w_cap)) only moves the window earlier,
-    so start-based span <= w_cap guarantees coverage."""
-    _, win_fn = _jitted_probes(n, near, far, extent)
-    ac = int(dm.sum(-1).max())
-    has = dm.any(-1)
-    last = dm.shape[-1] - 1 - np.argmax(dm[:, ::-1], -1)
-    start = np.clip(np.asarray(win_fn(grid, origins, directions)), 0, None)
-    span = int(np.where(has, last - start + 1, 0).max())
-    return ac, span
 
 
 def hybrid_w_cap_for(span: int, n_samples: int) -> int:
@@ -440,24 +436,18 @@ def choose_compact_mode(
         "hybrid": ("hybrid", "lattice"),
     }
     modes = chains.get(cfg.march_mode, (cfg.march_mode,))
-    # ONE dense probe march shared across the whole mode chain (it is the
-    # expensive part of the check — previously re-run per mode)
-    probe_fn, _ = _jitted_probes(n, near, far, 2 * cfg.outside)
-    dm = np.asarray(probe_fn(grid, origins, directions)) > 0
+    # ONE jitted device probe shared across the whole mode chain, reduced
+    # to three scalars on device (_jitted_chooser_stats)
+    ac, span, win_w = _chooser_stats(cfg, grid, origins, directions, near, far)
     for mode in modes:
+        if mode == "window" and win_w <= budget:
+            return CompactChoice("window", win_w)
         if mode == "hybrid":
-            ac, span = _hybrid_stats(
-                grid, origins, directions, n, near, far, 2 * cfg.outside, dm
-            )
             wcap = hybrid_w_cap_for(span, n)
             if ac <= budget and wcap <= _max_hybrid_w_cap(n):
                 return CompactChoice("hybrid", ac, wcap)
-            continue
-        w = compact_switch_width(
-            cfg, grid, origins, directions, near, far, mode, dense_mask=dm
-        )
-        if w <= budget:
-            return CompactChoice(mode, w)
+        if mode == "lattice" and ac <= budget:
+            return CompactChoice("lattice", ac)
     return None
 
 
