@@ -637,6 +637,7 @@ def _build_train_step(
     return train_step
 
 
+@functools.lru_cache(maxsize=64)
 def make_train_step(
     model: CPPN,
     cfg: TrainConfig,
@@ -645,13 +646,20 @@ def make_train_step(
     num_images: int | None = None,
     rays_per_image: int | None = None,
 ):
-    """Jitted single train step (donated state)."""
+    """Jitted single train step (donated state).
+
+    lru-cached on the (hashable, structurally-equal) model/config: repeat
+    ``train()`` calls in one process — seed grids, sweeps, retrain loops —
+    get the SAME jitted callable back, so jax's compile cache hits instead
+    of re-tracing + re-compiling (4-12 s per program through the tunnel).
+    """
     return jax.jit(
         _build_train_step(model, cfg, near, far, num_images, rays_per_image),
         donate_argnums=(0,),
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_train_chunk(
     model: CPPN,
     cfg: TrainConfig,
@@ -686,6 +694,7 @@ def make_train_chunk(
     return jax.jit(chunk, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=64)
 def make_eval_step(model: CPPN, cfg: TrainConfig, near: float, far: float):
     """Held-out view evaluation (run_nerf_acc.py:330-380): full-image MSE,
     PSNR, vessel-pixel PSNR."""

@@ -29,6 +29,12 @@ def main():
         "--jitter", action="store_true",
         help="enable jittered grid-update evaluation points (grid_jitter)",
     )
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="run train() N times in-process; runs 2+ reuse every compiled "
+             "stepper (make_train_* are memoized) — the warm number is the "
+             "honest production throughput once one-time compiles are paid",
+    )
     args = ap.parse_args()
 
     from nerf_for_angiography_tpu.data import (
@@ -55,23 +61,25 @@ def main():
     )
     vol = make_vessel_volume(res=96)
     ds = generate_dataset(vol, dcfg)
-    res = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
-    print(
-        f"RESULT best_vessel_psnr={res.best_psnr:.2f} at iter {res.best_iter}; "
-        f"last_psnr={res.last_psnr:.2f}; {res.rays_per_sec:.0f} rays/s "
-        f"(march={cfg.march_mode}, mlp={cfg.mlp_backend})"
-    )
     import json
 
-    print("RESULT_JSON " + json.dumps({
-        "seed": cfg.seed,
-        "sampling": cfg.sampling_impl,
-        "jitter": cfg.grid_jitter,
-        "iters": args.iters,
-        "heldout_psnr": round(res.last_psnr, 3),
-        "vessel_psnr_best": round(res.best_psnr, 3),
-        "rays_per_sec": round(res.rays_per_sec),
-    }))
+    for run_i in range(max(1, args.repeat)):
+        res = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
+        print(
+            f"RESULT best_vessel_psnr={res.best_psnr:.2f} at iter {res.best_iter}; "
+            f"last_psnr={res.last_psnr:.2f}; {res.rays_per_sec:.0f} rays/s "
+            f"(march={cfg.march_mode}, mlp={cfg.mlp_backend})"
+        )
+        print("RESULT_JSON " + json.dumps({
+            "seed": cfg.seed,
+            "sampling": cfg.sampling_impl,
+            "jitter": cfg.grid_jitter,
+            "iters": args.iters,
+            "heldout_psnr": round(res.last_psnr, 3),
+            "vessel_psnr_best": round(res.best_psnr, 3),
+            "rays_per_sec": round(res.rays_per_sec),
+            "warm": run_i > 0,
+        }))
 
 
 if __name__ == "__main__":
