@@ -32,11 +32,35 @@ def cumsum_impl(mask, k):
     return jnp.minimum(sel, w - 1), mask_k
 
 
+def cumsum_bf16_impl(mask, k):
+    # rank/j <= 320 are exactly representable in bf16 (8 mantissa bits
+    # cover integers to 256; w=160 and k=88 stay below) — the (R, w, k)
+    # compare runs at 2x VPU width
+    w = mask.shape[-1]
+    rank = jnp.cumsum(mask, axis=-1).astype(jnp.bfloat16)
+    j = jnp.arange(k, dtype=jnp.bfloat16)
+    sel = jnp.sum(
+        (rank[..., :, None] <= j).astype(jnp.int32), axis=-2
+    )
+    mask_k = (j.astype(jnp.float32) < rank[..., -1:].astype(jnp.float32))
+    return jnp.minimum(sel, w - 1), mask_k.astype(jnp.float32)
+
+
 def sort_impl(mask, k):
     w = mask.shape[-1]
     order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
     keys = jnp.where(mask > 0.5, order, order + w)
     skeys = jax.lax.sort(keys, dimension=-1)[..., :k]
+    return skeys % w, (skeys < w).astype(jnp.float32)
+
+
+def sort16_impl(mask, k):
+    # int16 keys (values < 2w = 320 fit): half the sort-network register
+    # width
+    w = mask.shape[-1]
+    order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    keys = jnp.where(mask > 0.5, order, order + w).astype(jnp.int16)
+    skeys = jax.lax.sort(keys, dimension=-1)[..., :k].astype(jnp.int32)
     return skeys % w, (skeys < w).astype(jnp.float32)
 
 
@@ -63,7 +87,8 @@ def main():
 
     out = {}
     for name, fn in [
-        ("cumsum", cumsum_impl), ("sort", sort_impl), ("topk", topk_impl)
+        ("cumsum", cumsum_impl), ("cumsum_bf16", cumsum_bf16_impl),
+        ("sort", sort_impl), ("sort16", sort16_impl), ("topk", topk_impl),
     ]:
         t = timeit_on_device(
             lambda i, fn=fn: (
