@@ -39,6 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+# JAX's stock gate rejects the axon platform name — force-enable (safe:
+# read/write failures degrade to a warning + normal compile)
+enable_persistent_cache()
+
 # 5,625 rays / 60 ms — estimated effective single-GPU rate of the reference
 # training loop (no published number exists; see module docstring).
 BASELINE_RAYS_PER_SEC = 93_750.0

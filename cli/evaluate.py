@@ -50,6 +50,10 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # axon platform is off JAX's cache allowlist
+
     from nerf_for_angiography_tpu.data import (
         make_lca_sdf_volume,
         make_sphere_volume,

@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # axon platform is off JAX's cache allowlist
+
     from nerf_for_angiography_tpu.data import load_data
     from nerf_for_angiography_tpu.parallel import create_mesh
     from nerf_for_angiography_tpu.training import parse_train_args, train

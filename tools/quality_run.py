@@ -37,6 +37,10 @@ def main():
     )
     args = ap.parse_args()
 
+    from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # axon platform is off JAX's cache allowlist
+
     from nerf_for_angiography_tpu.data import (
         DatagenConfig, generate_dataset, make_vessel_volume,
     )
