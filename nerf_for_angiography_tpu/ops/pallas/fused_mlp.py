@@ -41,16 +41,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# points per kernel tile (the lane axis); activations per layer are
-# (F, TILE) bf16 in VMEM: 1.5 MB at F=128/TILE=6144 — backward keeps
-# n_layers+1 of them. Swept on v5e (tools/bench_mlp_tile.py): 6144 > 4096
-# ~ 5120 fwd+bwd; 8192 fails to compile (VMEM).
-TILE = 6144
+# points per kernel tile (the lane axis), set independently for the two
+# directions — their VMEM envelopes differ by ~n_layers x:
+#   * backward holds n_layers+1 (F, TILE) bf16 activations per chain
+#     (rematerialized forward) plus the dW accumulators: 6144 is the
+#     measured best on v5e; 8192 fails to compile (VMEM).
+#   * forward only ever holds TWO live activations per chain, so it can
+#     run much larger tiles — the fwd's profiled soft spot is Mosaic's
+#     fixed per-tile cost (~12 us/tile on ~4 us of MXU work at 6144;
+#     chains 1->2 bought only +3%, ruling out dependency latency), and
+#     bigger tiles amortize exactly that fixed cost.
+FWD_TILE = 6144
+BWD_TILE = 6144
 # independent point-chains evaluated interleaved within one kernel tile:
 # the forward is partially VPU-bound (bias+relu+casts between matmuls —
 # measured 47 TF/s vs 197 peak), and two dependency chains let the
 # scheduler hide one chain's VPU work under the other's MXU matmuls.
-CHAINS = 2
+FWD_CHAINS = 2
+BWD_CHAINS = 2
 # output-head implementation: 'reduce' = f32 elementwise product + sublane
 # (axis-0) VPU reduction; 'dot' = one (8, F) bf16 MXU matmul whose row 0 is
 # w_out (sublane reductions are the forward kernel's profiled soft spot —
@@ -82,10 +90,10 @@ def _head(w_out_ref, b_out_ref, h):
     return raw + b_out_ref[0, 0]
 
 
-def _pad_points(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
-    """(P, 3) f32 -> (8, P_pad) f32 feature-major, P_pad multiple of TILE."""
+def _pad_points(x: jnp.ndarray, tile: int) -> tuple[jnp.ndarray, int]:
+    """(P, 3) f32 -> (8, P_pad) f32 feature-major, P_pad multiple of tile."""
     p = x.shape[0]
-    p_pad = ((p + TILE - 1) // TILE) * TILE
+    p_pad = ((p + tile - 1) // tile) * tile
     out = jnp.zeros((_IN_PAD, p_pad), jnp.float32)
     return out.at[:3, :p].set(x.T.astype(jnp.float32)), p
 
@@ -266,7 +274,7 @@ def _bwd_kernel(n_hidden, chains, x_ref, g_ref, *refs):
 
 
 def _run_fwd(flat_params, n_hidden, f, x_pad, interpret):
-    n_tiles = x_pad.shape[1] // TILE
+    n_tiles = x_pad.shape[1] // FWD_TILE
     if HEAD == "dot":
         # repack the (F, 1) f32 w_out column as an (8, F) bf16 matrix with
         # row 0 live — the head becomes one tiny MXU matmul in-kernel
@@ -281,20 +289,20 @@ def _run_fwd(flat_params, n_hidden, f, x_pad, interpret):
         for p in flat_params
     ]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_hidden, CHAINS),
+        functools.partial(_fwd_kernel, n_hidden, FWD_CHAINS),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_IN_PAD, FWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
             *param_specs,
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, FWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, x_pad.shape[1]), jnp.float32),
         interpret=interpret,
     )(x_pad, *flat_params)
 
 
 def _run_bwd(flat_params, n_hidden, f, x_pad, g_pad, interpret):
-    n_tiles = x_pad.shape[1] // TILE
+    n_tiles = x_pad.shape[1] // BWD_TILE
     param_specs = [
         pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
         for p in flat_params
@@ -307,14 +315,14 @@ def _run_bwd(flat_params, n_hidden, f, x_pad, g_pad, interpret):
     # last output: per-tile input gradient (8, P_pad)
     grad_shapes.append(jax.ShapeDtypeStruct(x_pad.shape, jnp.float32))
     grad_specs.append(
-        pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM)
+        pl.BlockSpec((_IN_PAD, BWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_hidden, CHAINS),
+        functools.partial(_bwd_kernel, n_hidden, BWD_CHAINS),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_IN_PAD, BWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=grad_specs,
@@ -337,7 +345,7 @@ def fused_mlp_raw(params, x, interpret=False):
 
 def _fused_fwd(params, x, interpret):
     flat, n_hidden, f = _prep_params(params)
-    x_pad, p = _pad_points(x)
+    x_pad, p = _pad_points(x, FWD_TILE)
     raw = _run_fwd(flat, n_hidden, f, x_pad, interpret)
     return raw[0, :p], (params, x)
 
@@ -345,7 +353,7 @@ def _fused_fwd(params, x, interpret):
 def _fused_bwd(interpret, res, g):
     params, x = res
     flat, n_hidden, f = _prep_params(params)
-    x_pad, p = _pad_points(x)
+    x_pad, p = _pad_points(x, BWD_TILE)
     g_pad = jnp.zeros((1, x_pad.shape[1]), jnp.float32).at[0, :p].set(g)
     *grads_flat, dx_t = _run_bwd(flat, n_hidden, f, x_pad, g_pad, interpret)
 
@@ -549,7 +557,7 @@ def _bwd_kernel_enc(n_hidden, n_sin, x_ref, g_ref, a_ref, w_ref, *refs):
 
 
 def _run_fwd_enc(flat_params, n_hidden, n_sin, mat, w_rows, x_pad, interpret):
-    n_tiles = x_pad.shape[1] // TILE
+    n_tiles = x_pad.shape[1] // FWD_TILE
     fixed_specs = [
         pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
         for p in (mat, w_rows, *flat_params)
@@ -558,17 +566,17 @@ def _run_fwd_enc(flat_params, n_hidden, n_sin, mat, w_rows, x_pad, interpret):
         functools.partial(_fwd_kernel_enc, n_hidden, n_sin),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_IN_PAD, FWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
             *fixed_specs,
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, FWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, x_pad.shape[1]), jnp.float32),
         interpret=interpret,
     )(x_pad, mat, w_rows, *flat_params)
 
 
 def _run_bwd_enc(flat_params, n_hidden, n_sin, mat, w_rows, x_pad, g_pad, interpret):
-    n_tiles = x_pad.shape[1] // TILE
+    n_tiles = x_pad.shape[1] // BWD_TILE
     fixed_specs = [
         pl.BlockSpec(p.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
         for p in (mat, w_rows, *flat_params)
@@ -584,14 +592,14 @@ def _run_bwd_enc(flat_params, n_hidden, n_sin, mat, w_rows, x_pad, g_pad, interp
     )
     grad_shapes.append(jax.ShapeDtypeStruct(x_pad.shape, jnp.float32))  # dx
     grad_specs.append(
-        pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM)
+        pl.BlockSpec((_IN_PAD, BWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel_enc, n_hidden, n_sin),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((_IN_PAD, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_IN_PAD, BWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BWD_TILE), lambda m: (0, m), memory_space=pltpu.VMEM),
             *fixed_specs,
         ],
         out_specs=grad_specs,
@@ -619,7 +627,7 @@ def fused_mlp_enc_raw(spec, params, enc_params, x, interpret=False):
 def _fused_enc_fwd(spec, params, enc_params, x, interpret):
     mat, w_rows, n_sin, e, e_pad = _enc_arrays(spec, enc_params)
     flat, n_hidden, f = _prep_params_enc(params, e, e_pad)
-    x_pad, p = _pad_points(x)
+    x_pad, p = _pad_points(x, FWD_TILE)
     raw = _run_fwd_enc(flat, n_hidden, n_sin, mat, w_rows, x_pad, interpret)
     return raw[0, :p], (params, enc_params, x)
 
@@ -628,7 +636,7 @@ def _fused_enc_bwd(spec, interpret, res, g):
     params, enc_params, x = res
     mat, w_rows, n_sin, e, e_pad = _enc_arrays(spec, enc_params)
     flat, n_hidden, f = _prep_params_enc(params, e, e_pad)
-    x_pad, p = _pad_points(x)
+    x_pad, p = _pad_points(x, BWD_TILE)
     g_pad = jnp.zeros((1, x_pad.shape[1]), jnp.float32).at[0, :p].set(g)
     *grads_flat, da, dx_t = _run_bwd_enc(
         flat, n_hidden, n_sin, mat, w_rows, x_pad, g_pad, interpret

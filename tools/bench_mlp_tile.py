@@ -40,9 +40,11 @@ def timeit_on_device(body, n_inner=30, warmup=1, iters=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=450_000)
-    ap.add_argument("--tiles", default="4096,5120,6144")
-    ap.add_argument("--chains", default="1,2")
+    ap.add_argument("--tiles", default="4096,5120,6144", help="FWD tile sweep")
+    ap.add_argument("--chains", default="1,2", help="FWD chains sweep")
     ap.add_argument("--heads", default="reduce", help="e.g. reduce,dot")
+    ap.add_argument("--bwd_tile", type=int, default=6144)
+    ap.add_argument("--bwd_chains", type=int, default=2)
     ap.add_argument("--enc", action="store_true", help="also bench enc kernels")
     args = ap.parse_args()
 
@@ -63,6 +65,8 @@ def main():
 
     import itertools
 
+    fm.BWD_TILE = args.bwd_tile
+    fm.BWD_CHAINS = args.bwd_chains
     for tile, ch, head in itertools.product(
         [int(t) for t in args.tiles.split(",")],
         [int(c) for c in args.chains.split(",")],
@@ -70,8 +74,8 @@ def main():
     ):
         if tile % (128 * ch):
             continue
-        fm.TILE = tile
-        fm.CHAINS = ch
+        fm.FWD_TILE = tile
+        fm.FWD_CHAINS = ch
         fm.HEAD = head
         try:
             t_f = timeit_on_device(
@@ -97,7 +101,7 @@ def main():
         print(json.dumps({f"tile{tile}c{ch}{head}": out[f"tile{tile}c{ch}{head}"]}), file=sys.stderr)
 
     if args.enc:
-        fm.TILE = 4096
+        fm.FWD_TILE = fm.BWD_TILE = 4096
         L = 5
         ecfg = CPPNConfig(
             num_early_layers=4, num_filters=128, pos_enc="fourier",
