@@ -3,12 +3,72 @@
 The reference writes mp4 via imageio+ffmpeg (helpers.py:47-49). This image
 has imageio but NOT imageio_ffmpeg, so mp4 writing raises — round 1's
 export produced nothing anywhere it ran (VERDICT r1 missing #2). Fallback
-chain: mp4 (if ffmpeg exists) -> animated GIF via PIL (always available).
+chain: mp4 (if ffmpeg exists) -> MJPEG .avi muxed here (a real video
+container any desktop player opens; JPEG frames via PIL, RIFF/AVI
+structure written directly) -> animated GIF via PIL. The GIF is ALSO
+written next to the .avi so the artifact previews in a browser.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
+
+
+def _mjpeg_avi(frames_u8: list[np.ndarray], path: str, fps: int) -> None:
+    """Mux JPEG-compressed frames into an AVI ('MJPG' fourcc).
+
+    Minimal RIFF writer: hdrl(avih + one vids stream) + movi('00dc' chunks)
+    + idx1. MJPEG is the one standard codec encodable with PIL alone.
+    """
+    import io
+
+    from PIL import Image
+
+    jpegs = []
+    for f in frames_u8:
+        img = Image.fromarray(f)
+        if img.mode != "RGB":  # some decoders reject grayscale MJPEG
+            img = img.convert("RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        jpegs.append(buf.getvalue())
+    h, w = frames_u8[0].shape[:2]
+    n = len(jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I", int(1e6 / fps), max_sz * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sI2H8IH2hH",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_sz,
+        0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    idx = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the start of the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<3I", 0x10, len(movi_body), len(j))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", idx)
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)
 
 
 def save_video(frames, path: str, fps: int = 10, quality: int = 7) -> str | None:
@@ -16,7 +76,9 @@ def save_video(frames, path: str, fps: int = 10, quality: int = 7) -> str | None
 
     Tries the reference's imageio mp4 call (macro_block_size matching
     helpers.py:47-49); without an ffmpeg backend, writes ``path`` with the
-    extension swapped to .gif (PIL animated GIF, same frames/fps).
+    extension swapped to .avi (MJPEG muxed by ``_mjpeg_avi`` — a real
+    video container) AND to .gif (browser-previewable), returning the
+    .avi path.
     """
     frames = [np.asarray(f) for f in frames]
     if not frames:
@@ -28,6 +90,13 @@ def save_video(frames, path: str, fps: int = 10, quality: int = 7) -> str | None
         return path
     except Exception:
         pass
+    written = None
+    try:
+        avi_path = path.rsplit(".", 1)[0] + ".avi"
+        _mjpeg_avi(frames, avi_path, fps)
+        written = avi_path
+    except Exception as e:  # pragma: no cover - PIL is baked into the image
+        print(f"avi export skipped ({e})")
     try:
         from PIL import Image
 
@@ -40,10 +109,12 @@ def save_video(frames, path: str, fps: int = 10, quality: int = 7) -> str | None
             duration=int(1000 / fps),
             loop=0,
         )
-        return gif_path
+        written = written or gif_path
     except Exception as e:  # pragma: no cover - PIL is baked into the image
-        print(f"video export skipped ({e})")
-        return None
+        print(f"gif export skipped ({e})")
+    if written is None:
+        print("video export skipped (no writable backend)")
+    return written
 
 
 def get_videos(

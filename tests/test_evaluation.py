@@ -485,3 +485,34 @@ def test_video_gif_fallback(tmp_path):
     assert len(written) == 4
     for w in written:
         assert os.path.getsize(w) > 0
+
+
+def test_video_mjpeg_avi_container(tmp_path):
+    """Without ffmpeg, save_video writes a structurally-valid MJPEG AVI
+    (RIFF sizes, idx1 index) whose embedded JPEG frames PIL can decode,
+    plus a browser-previewable GIF alongside."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from nerf_for_angiography_tpu.evaluation.video import save_video
+
+    frames = [(np.random.rand(32, 48) * 255).astype(np.uint8) for _ in range(5)]
+    p = save_video(frames, str(tmp_path / "rot.mp4"), fps=10)
+    assert p.endswith(".avi")
+    assert (tmp_path / "rot.gif").exists()
+
+    data = open(p, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert b"idx1" in data
+    # decode the first '00dc' frame chunk inside 'movi'
+    j = data.find(b"00dc", data.find(b"movi"))
+    sz = struct.unpack("<I", data[j + 4 : j + 8])[0]
+    img = Image.open(io.BytesIO(data[j + 8 : j + 8 + sz]))
+    assert img.size == (48, 32)
+    # frame count in the avih header matches
+    avih = data.find(b"avih")
+    n_frames = struct.unpack("<I", data[avih + 8 + 16 : avih + 8 + 20])[0]
+    assert n_frames == 5
