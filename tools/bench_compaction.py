@@ -46,6 +46,18 @@ def cumsum_bf16_impl(mask, k):
     return jnp.minimum(sel, w - 1), mask_k.astype(jnp.float32)
 
 
+def cumsum_i16_impl(mask, k):
+    # int16 compare keys: rank and j are both <= w (160-300 at the
+    # flagship shapes), exactly representable — 2x VPU width on the
+    # (R, w, k) compare with exact semantics.
+    w = mask.shape[-1]
+    rank = jnp.cumsum(mask, axis=-1).astype(jnp.int16)
+    j = jnp.arange(k, dtype=jnp.int16)
+    sel = jnp.sum((rank[..., :, None] <= j).astype(jnp.int32), axis=-2)
+    mask_k = (j.astype(jnp.float32) < rank[..., -1:].astype(jnp.float32))
+    return jnp.minimum(sel, w - 1), mask_k.astype(jnp.float32)
+
+
 def sort_impl(mask, k):
     w = mask.shape[-1]
     order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
@@ -88,6 +100,7 @@ def main():
     out = {}
     for name, fn in [
         ("cumsum", cumsum_impl), ("cumsum_bf16", cumsum_bf16_impl),
+        ("cumsum_i16", cumsum_i16_impl),
         ("sort", sort_impl), ("sort16", sort16_impl), ("topk", topk_impl),
     ]:
         t = timeit_on_device(
