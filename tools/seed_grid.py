@@ -51,11 +51,37 @@ def main():
                 except Exception:
                     pass
 
+    def tunnel_healthy(timeout=60):
+        """One trivial op in a throwaway process — a wedged tunnel hangs
+        or errors; don't burn a cell's 30-min budget on init retries."""
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"],
+            capture_output=True, timeout=timeout + 10, text=True,
+        )
+        return probe.returncode == 0
+
+    def wait_for_tunnel(max_wait=3600):
+        waited = 0
+        while waited < max_wait:
+            try:
+                if tunnel_healthy():
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"tunnel unhealthy; retrying in 120s ({waited}s waited)", flush=True)
+            time.sleep(120)
+            waited += 180
+        return False
+
     for cell in cells(seeds):
         key = (cell["seed"], cell["sampling"], cell["jitter"])
         if key in done:
             print(f"skip (done): {key}", flush=True)
             continue
+        if not wait_for_tunnel():
+            print(f"tunnel down >1h; giving up at {key}", flush=True)
+            break
         cmd = [
             sys.executable, os.path.join(REPO, "tools", "quality_run.py"),
             "--iters", str(args.iters), "--seed", str(cell["seed"]),
