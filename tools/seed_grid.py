@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--seeds", default="0,1,2,3")
     ap.add_argument("--out", default=os.path.join(REPO, "benchmarks", "seed_grid_r3.jsonl"))
     ap.add_argument("--timeout", type=int, default=1800, help="per-run seconds")
+    ap.add_argument(
+        "--max_tunnel_wait", type=int, default=3600,
+        help="seconds to wait out a wedged tunnel before giving up",
+    )
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
 
@@ -61,7 +65,7 @@ def main():
         )
         return probe.returncode == 0
 
-    def wait_for_tunnel(max_wait=3600):
+    def wait_for_tunnel(max_wait=args.max_tunnel_wait):
         waited = 0
         while waited < max_wait:
             try:
