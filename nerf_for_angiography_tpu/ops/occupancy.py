@@ -28,6 +28,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class OccupancyGrid(NamedTuple):
@@ -52,6 +53,10 @@ class OccupancyGrid(NamedTuple):
     aabb: jnp.ndarray
     packed: jnp.ndarray | None = None
     packed_coarse: jnp.ndarray | None = None
+    # optional PERSISTENT feasibility mask (space-carving init,
+    # carve_feasible): cells proven empty by an unattenuated training ray
+    # stay pruned through every EMA re-binarization. None = all feasible.
+    feasible: jnp.ndarray | None = None
 
     @property
     def resolution(self) -> int:
@@ -70,16 +75,34 @@ def with_packed(grid: OccupancyGrid) -> OccupancyGrid:
     return grid._replace(packed=packed, packed_coarse=packed_coarse)
 
 
-def create_grid(aabb, resolution: int = 128) -> OccupancyGrid:
+def create_grid(
+    aabb, resolution: int = 128, feasible: jnp.ndarray | None = None
+) -> OccupancyGrid:
     """Fresh grid, everything occupied (matches nerfacc's conservative
-    start: an empty grid would kill all gradients on step 0)."""
+    start: an empty grid would kill all gradients on step 0). With
+    ``feasible`` (space-carving init, carve_feasible), provably-empty
+    cells start — and stay — pruned."""
     aabb = jnp.asarray(aabb, jnp.float32)
     shape = (resolution, resolution, resolution)
+    binary = jnp.ones(shape, bool)
+    if feasible is not None:
+        binary = binary & feasible
     return with_packed(OccupancyGrid(
         occs=jnp.zeros(shape, jnp.float32),
-        binary=jnp.ones(shape, bool),
+        binary=binary,
         aabb=aabb,
+        feasible=feasible,
     ))
+
+
+def _binarize(
+    occs: jnp.ndarray, thresh, feasible: jnp.ndarray | None
+) -> jnp.ndarray:
+    """nerfacc binarization ``occs > min(mean, occ_thre)`` intersected with
+    the persistent carve mask (a carved cell must never re-occupy: its
+    emptiness is proven by the training data, not estimated by the EMA)."""
+    binary = occs > thresh
+    return binary if feasible is None else binary & feasible
 
 
 def cell_centers(grid: OccupancyGrid) -> jnp.ndarray:
@@ -118,9 +141,12 @@ def update_grid(
     sigma = sigma_fn(pts).reshape(res, res, res)
     occs = jnp.maximum(grid.occs * ema_decay, sigma)
     thresh = jnp.minimum(jnp.mean(occs), occ_thre)
-    return with_packed(
-        OccupancyGrid(occs=occs, binary=occs > thresh, aabb=grid.aabb)
-    )
+    return with_packed(OccupancyGrid(
+        occs=occs,
+        binary=_binarize(occs, thresh, grid.feasible),
+        aabb=grid.aabb,
+        feasible=grid.feasible,
+    ))
 
 
 def update_grid_pair(
@@ -154,9 +180,12 @@ def update_grid_pair(
     def apply(g: OccupancyGrid, thre: float) -> OccupancyGrid:
         occs = jnp.maximum(g.occs * ema_decay, sigma)
         thresh = jnp.minimum(jnp.mean(occs), thre)
-        return with_packed(
-            OccupancyGrid(occs=occs, binary=occs > thresh, aabb=g.aabb)
-        )
+        return with_packed(OccupancyGrid(
+            occs=occs,
+            binary=_binarize(occs, thresh, g.feasible),
+            aabb=g.aabb,
+            feasible=g.feasible,
+        ))
 
     return apply(grid, occ_thre), apply(vessel_grid, vessel_thre)
 
@@ -226,9 +255,12 @@ def update_grid_pair_slab(
             occs, jnp.maximum(old, sigma), (start, 0, 0)
         )
         thresh = jnp.minimum(jnp.mean(occs), thre)
-        return with_packed(
-            OccupancyGrid(occs=occs, binary=occs > thresh, aabb=g.aabb)
-        )
+        return with_packed(OccupancyGrid(
+            occs=occs,
+            binary=_binarize(occs, thresh, g.feasible),
+            aabb=g.aabb,
+            feasible=g.feasible,
+        ))
 
     return apply(grid, occ_thre), apply(vessel_grid, vessel_thre)
 
@@ -395,6 +427,94 @@ def coarse_dilated_bits(
     cres = res // factor
     c = binary.reshape(cres, factor, cres, factor, cres, factor).any(axis=(1, 3, 5))
     return pack_grid_bits(_dilate3(c)), cres
+
+
+def carve_feasible(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    pixel_values: jnp.ndarray,
+    aabb,
+    resolution: int,
+    near: float,
+    far: float,
+    thresh: float = 0.995,
+    samples_per_cell: float = 2.0,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Space-carving feasibility mask from the training rays (one-time).
+
+    Physics of the X-ray forward model (helpers.py:192-224 semantics): a
+    pixel value of ~1 means ``prod(exp(-sigma*dt)) ~ 1`` along the whole
+    ray, i.e. zero attenuation — the training objective itself pins the
+    density along that ray to ~0. Every grid cell such a "white" ray
+    traverses is therefore provably empty *under the training data*, and
+    can start (and stay) pruned instead of waiting ~3k iterations for the
+    MLP to learn emptiness and the EMA grid to decay below threshold. This
+    is the classic visual-hull / silhouette-carving initialization; the
+    reference's nerfacc grid has no equivalent (it always starts fully
+    occupied, run_nerf_acc.py:196-198) — a deliberate TPU-era improvement,
+    flagged off by ``TrainConfig.carve_init=False`` for strict-reference
+    behavior.
+
+    Conservativeness: per-ray carving over-carves cells the ray only clips
+    a corner of (the cell may hold density OFF the ray), so the carved set
+    is ERODED by one cell — a cell stays feasible if any 26-neighbor is
+    un-carved. Cells no white ray traverses are never carved. Works
+    unchanged under pose-shift augmentation (the evidence is about the rays
+    as trained, not about world-truth), but the caller should skip carving
+    when poses themselves are being refined (the rays move during
+    training).
+
+    Returns a bool (res, res, res) mask: True = feasible.
+    """
+    aabb = jnp.asarray(aabb, jnp.float32)
+    res = int(resolution)
+    lo, hi = aabb[:3], aabb[3:]
+    # ray-march step <= cell/samples_per_cell so traversed cells are hit
+    # (missing grazing cells is safe: un-carved = feasible)
+    extent = float(jnp.max(hi - lo))
+    cell = extent / res
+    n_s = int(np.ceil((far - near) / (cell / samples_per_cell)))
+    n_s = max(8, min(n_s, 4 * res * int(np.ceil(samples_per_cell))))
+    ts = near + (jnp.arange(n_s, dtype=jnp.float32) + 0.5) * (
+        (far - near) / n_s
+    )
+
+    n = origins.shape[0]
+    pad = (-n) % chunk
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+    d = jnp.concatenate([directions, jnp.zeros((pad, 3), directions.dtype)])
+    white = jnp.concatenate(
+        [pixel_values >= thresh, jnp.zeros((pad,), bool)]
+    )
+    n_cells = res * res * res
+
+    def body(carved, inp):
+        co, cd, cw = inp
+        pos = co[:, None, :] + cd[:, None, :] * ts[None, :, None]
+        inside = jnp.all((pos >= lo) & (pos <= hi), axis=-1)
+        idx = jnp.clip(
+            ((pos - lo) / (hi - lo) * res).astype(jnp.int32), 0, res - 1
+        )
+        flat = (idx[..., 0] * res + idx[..., 1]) * res + idx[..., 2]
+        # sentinel slot n_cells for non-carving samples (scatter-set True)
+        flat = jnp.where(cw[:, None] & inside, flat, n_cells)
+        carved = carved.at[flat.reshape(-1)].set(True)
+        return carved, None
+
+    carved = jnp.zeros((n_cells + 1,), bool)
+    carved, _ = jax.lax.scan(
+        body,
+        carved,
+        (
+            o.reshape(-1, chunk, 3),
+            d.reshape(-1, chunk, 3),
+            white.reshape(-1, chunk),
+        ),
+    )
+    carved = carved[:n_cells].reshape(res, res, res)
+    # erode the carved set by one cell == dilate the feasible set
+    return _dilate3(~carved)
 
 
 def window_probe_stride(

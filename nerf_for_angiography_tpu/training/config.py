@@ -81,6 +81,24 @@ class TrainConfig:
     # training/loop.py — 2x measured steady-state speedup on v5e; lossless
     # at the switch criterion)
     compact_samples: int = 96
+    # allow the compacted stepper to ENGAGE EARLY with an interim k above
+    # compact_samples (bucketed to 32 to bound the compiled-stepper
+    # universe; the loop shrinks k as the grid prunes). The dense phase
+    # runs ~4x slower than compacted; interim engagement converts most of
+    # it. 0 = round-2 behavior (wait for width <= 0.9*compact_samples).
+    # Lossless: the switch criterion (choose_compact_mode) still requires
+    # the interim k to cover every test ray's active width.
+    compact_engage_max: int = 0
+    # space-carving grid initialization (ops/occupancy.py::carve_feasible):
+    # cells traversed by an unattenuated (pixel >= carve_thresh) training
+    # ray start — and stay — pruned, engaging the compacted stepper within
+    # ~100 iterations instead of ~3-4k (the EMA prune time). Carving is
+    # eroded by one cell for conservativeness and skipped automatically
+    # under pose_refine (the rays move during training). Off = the
+    # reference's always-start-fully-occupied nerfacc behavior
+    # (run_nerf_acc.py:196-198).
+    carve_init: bool = False
+    carve_thresh: float = 0.995
     # probe the occupancy grid every n-th sample during marching (union of
     # bracketing probes; see ops/occupancy.py). 1 = exact per-sample query.
     # At the flagship defaults the probe spacing (stride*(far-near)/samples

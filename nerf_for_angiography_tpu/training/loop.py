@@ -18,6 +18,7 @@ from datetime import datetime
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import RayDataset
@@ -192,6 +193,34 @@ def train(
     )
     if initial_state is not None:  # warm start / state injection
         state = initial_state
+    elif cfg.carve_init and not cfg.pose_refine:
+        # space-carving grid init from the TRAIN rays only (the held-out
+        # view is already dropped — no test leakage): provably-empty cells
+        # start and stay pruned (ops/occupancy.py::carve_feasible), so the
+        # compacted stepper engages within ~1 check cadence instead of the
+        # ~3-4k-iteration EMA prune time. One-time ~100 ms device pass.
+        from ..ops.occupancy import carve_feasible, with_packed
+
+        feas = carve_feasible(
+            train_rays.origins, train_rays.directions,
+            train_rays.pixel_values, state.grid.aabb,
+            cfg.grid_resolution, near, far, thresh=cfg.carve_thresh,
+        )
+        if verbose:
+            carved_frac = 1.0 - float(feas.mean())
+            print(f"carve_init: {carved_frac:.1%} of cells carved")
+
+        def _carve(g, f):
+            return with_packed(g._replace(
+                feasible=f, binary=g.binary & f
+            ))
+
+        # distinct feasible buffers per grid (one donated TrainState —
+        # XLA rejects donating an aliased buffer twice)
+        state = state._replace(
+            grid=_carve(state.grid, feas),
+            vessel_grid=_carve(state.vessel_grid, jnp.array(feas, copy=True)),
+        )
     dense_cfg = dataclasses.replace(cfg, compact_samples=0)
     train_step = make_train_step(
         model, dense_cfg, near, far,
@@ -352,46 +381,60 @@ def train(
                         f"{width} -> k={compact_k}, w_cap={compact_wcap})"
                     )
 
-        if n_iter % cfg.display_every == 0:
-            if want_compact and using_compact:
-                # the grid keeps evolving (EMA decay + re-threshold can add
-                # cells back): re-pick the mode and regrow k before
-                # truncation can bias training; revert to the dense stepper
-                # if no compacted mode fits any more
-                from .train import choose_compact_mode, compact_k_for
+        # re-validate / re-tune the engaged compacted stepper. Cadence:
+        # display_every once k has settled inside the configured budget;
+        # the faster check_every while k is still on the INTERIM ladder
+        # (compact_engage_max) — the grid prunes fastest early, and every
+        # shrink there is a direct throughput win.
+        recheck = (
+            check_every
+            if compact_k > cfg.compact_samples
+            else cfg.display_every
+        )
+        if want_compact and using_compact and n_iter % recheck == 0:
+            # the grid keeps evolving (EMA decay + re-threshold can add
+            # cells back): re-pick the mode and re-size k before truncation
+            # can bias training; revert to the dense stepper if no
+            # compacted mode fits any more
+            from .train import choose_compact_mode, compact_k_for
 
-                choice = choose_compact_mode(
-                    cfg, state.grid, test.origins, test.directions, near, far
-                )
-                if choice is None:
-                    using_compact = False
+            choice = choose_compact_mode(
+                cfg, state.grid, test.origins, test.directions, near, far
+            )
+            if choice is None:
+                using_compact = False
+                if verbose:
+                    print(
+                        f"reverting to dense stepper at iter {n_iter} "
+                        "(no compacted mode fits the evolved grid)"
+                    )
+            else:
+                mode2, width2, wcap2 = choice
+                k2 = compact_k_for(width2, cfg)
+                if mode2 == compact_mode:
+                    # same mode: GROW freely (losslessness forces it), but
+                    # SHRINK only past a 32-wide hysteresis band — small
+                    # shrinks would thrash compiles for marginal MLP time,
+                    # while ladder descents (interim k -> budget k) and
+                    # real grid convergence pay for themselves. Every
+                    # (mode, k, w_cap) program is cached in-process AND in
+                    # the persistent XLA cache across runs.
+                    if k2 > compact_k - 32:
+                        k2 = max(k2, compact_k)
+                    if wcap2 > compact_wcap - 32:
+                        wcap2 = max(wcap2, compact_wcap)
+                if (mode2, k2, wcap2) != (
+                    compact_mode, compact_k, compact_wcap
+                ):
+                    compact_mode, compact_k, compact_wcap = mode2, k2, wcap2
                     if verbose:
                         print(
-                            f"reverting to dense stepper at iter {n_iter} "
-                            "(no compacted mode fits the evolved grid)"
+                            f"retuning compacted stepper at iter {n_iter} "
+                            f"(march_mode={compact_mode}, width {width2} "
+                            f"-> k={compact_k}, w_cap={compact_wcap})"
                         )
-                else:
-                    mode2, width2, wcap2 = choice
-                    k2 = compact_k_for(width2, cfg)
-                    if mode2 == compact_mode:
-                        # same mode: only GROW k / w_cap (a shrink would
-                        # recompile for no correctness reason)
-                        k2 = max(k2, compact_k)
-                        wcap2 = max(wcap2, compact_wcap)
-                    if (
-                        mode2 != compact_mode
-                        or k2 > compact_k
-                        or wcap2 > compact_wcap
-                    ):
-                        # lazy + cached: a previously-seen (mode, k, w_cap)
-                        # tuple reuses its compiled steppers (no recompile)
-                        compact_mode, compact_k, compact_wcap = mode2, k2, wcap2
-                        if verbose:
-                            print(
-                                f"retuning compacted stepper at iter {n_iter} "
-                                f"(march_mode={compact_mode}, width {width2} "
-                                f"-> k={compact_k}, w_cap={compact_wcap})"
-                            )
+
+        if n_iter % cfg.display_every == 0:
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
             vessel_psnr = float(test_metrics["psnr/vessel-test-coarse"])

@@ -430,6 +430,14 @@ def choose_compact_mode(
     if not (0 < cfg.compact_samples < cfg.depth_samples_per_ray):
         return None
     budget = int(0.9 * cfg.compact_samples)
+    # interim engagement (compact_engage_max > compact_samples): accept a
+    # width above the final budget while it still fits the interim cap —
+    # compact_k_for sizes k into the coarse 32-bucket interim ladder and
+    # the loop shrinks it as the grid prunes. Converts most of the ~4x
+    # slower dense phase into compacted stepping, still lossless.
+    emax = getattr(cfg, "compact_engage_max", 0)
+    if emax > cfg.compact_samples:
+        budget = int(0.9 * min(emax, cfg.depth_samples_per_ray - 1))
     n = cfg.depth_samples_per_ray
     chains = {
         "window": ("window", "hybrid", "lattice"),
@@ -462,6 +470,17 @@ def compact_k_for(width: int, cfg: TrainConfig) -> int:
     coarser bucket cost a full 80->96 jump when jittered grid updates
     nudged the measured width from 69 to 73.)"""
     k = int(np.ceil(width * 1.15 / 8)) * 8
+    if k <= cfg.compact_samples:
+        return max(16, k)
+    # interim ladder (compact_engage_max): k above the configured budget is
+    # bucketed to 32 — a handful of distinct (mode, k) programs per run,
+    # all shared across runs via the persistent XLA cache — and capped at
+    # the engage max (>= width by choose_compact_mode's 0.9 slack, so the
+    # march stays lossless; only the 15% evolution margin thins).
+    emax = getattr(cfg, "compact_engage_max", 0)
+    if emax > cfg.compact_samples:
+        k32 = int(np.ceil(width * 1.15 / 32)) * 32
+        return max(16, min(k32, emax))
     return max(16, min(k, cfg.compact_samples))
 
 

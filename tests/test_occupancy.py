@@ -725,3 +725,142 @@ def test_update_grid_pair_jitter_stays_in_cell():
     assert not np.allclose(jittered, centers)
     # every jittered point within half a cell of its center
     assert np.abs(jittered - centers).max() <= cell / 2 + 1e-5
+
+
+# ---- space-carving grid initialization (carve_feasible) ----
+
+
+def test_carve_feasible_carves_white_ray_cells():
+    """Cells traversed only by white (unattenuated) rays become infeasible;
+    cells near a dark ray survive via the 1-cell erosion."""
+    from nerf_for_angiography_tpu.ops.occupancy import carve_feasible
+
+    res = 16
+    # rays along -z through the box, a DENSE 33x33 grid of (x, y) line
+    # positions (spacing ~6 < cell 12.5: every column is traversed, as in
+    # a real per-pixel dataset — erosion only resurrects cells adjacent
+    # to dark or untraversed ones)
+    xs = jnp.linspace(-97.0, 97.0, 33)
+    gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
+    nr = 33 * 33
+    o = jnp.stack(
+        [gx.ravel(), gy.ravel(), jnp.full(nr, 1500.0)], axis=-1
+    )
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (nr, 1))
+    # rays through the central |x|,|y| < 25 column are dark ("the object"):
+    # cells fully inside that footprint see ONLY dark rays (like interior
+    # cells of a real object), so they stay un-carved; their neighbors
+    # recover via the erosion; everything further out is carved.
+    dark = (jnp.abs(o[:, 0]) < 25.0) & (jnp.abs(o[:, 1]) < 25.0)
+    pix = jnp.where(dark, 0.5, 1.0)
+    feas = carve_feasible(o, d, pix, AABB, res, 1400.0, 1600.0)
+    feas = np.asarray(feas)
+    # cells 6..9 span [-25, 25) at cell size 12.5: only dark lines inside
+    assert feas[6:10, 6:10, :].all()
+    # a white column >= 2 cells outside the dark footprint is carved
+    # (x=y=80 -> cell 14, four cells from the dark block)
+    assert not feas[14, 14, res // 2]
+    # the mask is boolean and 3-D
+    assert feas.shape == (res, res, res) and feas.dtype == bool
+
+
+def test_carve_feasible_is_persistent_through_updates():
+    """A carved cell must never re-occupy, whatever the EMA sees."""
+    from nerf_for_angiography_tpu.ops.occupancy import carve_feasible
+
+    res = 16
+    # a >= 3-cell-wide bundle of white rays (a single ray can never carve:
+    # the erosion resurrects anything adjacent to untraversed cells)
+    xs = jnp.linspace(30.0, 70.0, 9)
+    gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack(
+        [gx.ravel(), gy.ravel(), jnp.full(81, 1500.0)], axis=-1
+    )
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (81, 1))
+    pix = jnp.ones(81)
+    feas = carve_feasible(o, d, pix, AABB, res, 1400.0, 1600.0)
+    assert not bool(jnp.all(feas))  # something was carved
+
+    g = create_grid(AABB, res, feasible=feas)
+    np.testing.assert_array_equal(np.asarray(g.binary), np.asarray(feas))
+    # a bright-everywhere field cannot resurrect carved cells
+    g = update_grid(g, lambda p: jnp.full(p.shape[:-1], 0.9), occ_thre=1e-4)
+    assert not np.asarray(g.binary)[~np.asarray(feas)].any()
+    assert np.asarray(g.binary)[np.asarray(feas)].all()
+    # feasible leaf is propagated and the packed cache agrees with binary
+    np.testing.assert_array_equal(np.asarray(g.feasible), np.asarray(feas))
+    carved_idx = np.argwhere(~np.asarray(feas))[0]
+    cell = 200.0 / res
+    pt = jnp.array(-100.0 + (carved_idx + 0.5) * cell, jnp.float32)
+    assert not bool(query_occ(g, pt))
+
+
+def test_carve_feasible_render_equality():
+    """Carving from the rays' own pixel values never changes their render:
+    every sigma > 0 sample lies in a feasible cell (interior cells are
+    never white-carved; surface cells recover via the 1-cell erosion)."""
+    from nerf_for_angiography_tpu.ops.occupancy import carve_feasible
+
+    res = 32
+    n_samples = 96
+    # one dense parallel view (65x65 ray lines, spacing ~3 < cell 6.25 —
+    # per-pixel density, as in a real dataset)
+    xs = jnp.linspace(-98.0, 98.0, 65)
+    gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
+    n_rays = 65 * 65
+    o = jnp.stack(
+        [gx.ravel(), gy.ravel(), jnp.full(n_rays, 1500.0)], axis=-1
+    )
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n_rays, 1))
+
+    full = create_grid(AABB, res)
+    m = march_rays(full, o, d, n_samples, 1400.0, 1600.0)
+    sigma = sphere_sigma(m.positions).reshape(m.mask.shape)
+    pix_full = render_xray(
+        sigma, m.t_starts, mask=m.mask, dists=m.t_ends - m.t_starts
+    ).pixels
+
+    feas = carve_feasible(o, d, pix_full, AABB, res, 1400.0, 1600.0)
+    carved = create_grid(AABB, res, feasible=feas)
+    m2 = march_rays(carved, o, d, n_samples, 1400.0, 1600.0)
+    sigma2 = sphere_sigma(m2.positions).reshape(m2.mask.shape)
+    pix_carved = render_xray(
+        sigma2, m2.t_starts, mask=m2.mask, dists=m2.t_ends - m2.t_starts
+    ).pixels
+    np.testing.assert_allclose(
+        np.asarray(pix_carved), np.asarray(pix_full), atol=1e-6
+    )
+    # and it actually carved something (white rays exist)
+    assert float(feas.mean()) < 1.0
+
+
+def test_choose_compact_mode_interim_engagement():
+    """With compact_engage_max set, a width above the final budget but
+    inside the interim cap engages with a 32-bucketed interim k."""
+    from nerf_for_angiography_tpu.training.train import (
+        choose_compact_mode, compact_k_for,
+    )
+    from nerf_for_angiography_tpu.training import TrainConfig
+
+    g = create_grid(AABB, 64)
+
+    def slab(p):  # ~56-unit-thick slab -> active width ~84 of 300 samples
+        return jnp.where(jnp.abs(p[..., 2]) < 28.0, 0.9, 0.0)
+
+    g = update_grid(g, slab, occ_thre=1e-4)
+    o = jnp.tile(jnp.array([[0.0, 0.0, 1500.0]]), (8, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (8, 1))
+    base = dict(
+        depth_samples_per_ray=300, compact_samples=48, outside=100.0,
+        grid_resolution=64, march_mode="window",
+    )
+    # without interim engagement: width ~90 > 0.9*48 -> no mode fits
+    cfg0 = TrainConfig(**base)
+    assert choose_compact_mode(cfg0, g, o, d, 1400.0, 1600.0) is None
+    # with it: engages, k on the 32-bucket interim ladder, lossless
+    cfg1 = TrainConfig(**base, compact_engage_max=160)
+    choice = choose_compact_mode(cfg1, g, o, d, 1400.0, 1600.0)
+    assert choice is not None
+    k = compact_k_for(choice.width, cfg1)
+    assert k >= choice.width  # lossless cover
+    assert k > cfg1.compact_samples and k % 32 == 0 and k <= 160

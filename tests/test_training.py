@@ -471,3 +471,40 @@ def test_compacted_stepper_reverts_to_dense(sphere_data, capsys, monkeypatch):
     assert "switching to compacted stepper" in out
     assert "reverting to dense stepper" in out
     assert np.isfinite(result.last_psnr)
+
+
+def test_carve_init_engages_compaction_immediately(sphere_data, capsys):
+    """With space-carving init (carve_init) the occupancy grid starts at
+    the visual hull, so the compacted stepper engages at the FIRST
+    readiness check (iter 0) instead of after the ~3-4k-iteration EMA
+    prune; the interim ladder (compact_engage_max) lets it engage with a
+    32-bucketed k above the configured budget. Training stays finite."""
+    # a SPARSE structure (vessel phantom) with enough views that the white
+    # rays' union covers the box (26 views, box matched to the 48px beam:
+    # measured 56% carved, test-ray active count 28 of 64 at iter 0 —
+    # above the 0.9*24 budget, inside the interim cap 56)
+    vol = make_vessel_volume(res=48, extent=40.0)
+    dcfg = DatagenConfig(
+        limited_size=180.0, number_angles=4.0, img_width=48, img_height=48,
+        sample_outside=50.0, stratified_depths=False,
+    )
+    ds = generate_dataset(vol, dcfg)
+    cfg = tiny_cfg(
+        n_iters=60, display_every=20, grid_resolution=32, outside=50.0,
+        depth_samples_per_ray=64, sample_size=16,
+        compact_samples=24, compact_engage_max=56,
+        carve_init=True,
+    )
+    result = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
+    out = capsys.readouterr().out
+    assert "carve_init:" in out  # carving ran and reported its fraction
+    assert "switching to compacted stepper at iter 0" in out
+    assert np.isfinite(result.last_psnr)
+    # the engaged k sits on the interim ladder: above the budget,
+    # 32-bucketed, within the cap
+    import re
+
+    m = re.search(r"-> k=(\d+)", out)
+    assert m, out
+    k = int(m.group(1))
+    assert cfg.compact_samples < k <= cfg.compact_engage_max

@@ -30,6 +30,14 @@ def main():
         help="enable jittered grid-update evaluation points (grid_jitter)",
     )
     ap.add_argument(
+        "--carve", action="store_true",
+        help="space-carving grid init (TrainConfig.carve_init)",
+    )
+    ap.add_argument(
+        "--engage_max", type=int, default=None,
+        help="interim compaction ladder cap (TrainConfig.compact_engage_max)",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=1,
         help="run train() N times in-process; runs 2+ reuse every compiled "
              "stepper (make_train_* are memoized) — the warm number is the "
@@ -58,6 +66,10 @@ def main():
         kw["seed"] = args.seed
     if args.jitter:
         kw["grid_jitter"] = True
+    if args.carve:
+        kw["carve_init"] = True
+    if args.engage_max is not None:
+        kw["compact_engage_max"] = args.engage_max
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -78,6 +90,8 @@ def main():
             "seed": cfg.seed,
             "sampling": cfg.sampling_impl,
             "jitter": cfg.grid_jitter,
+            "carve": cfg.carve_init,
+            "engage_max": cfg.compact_engage_max,
             "iters": args.iters,
             "heldout_psnr": round(res.last_psnr, 3),
             "vessel_psnr_best": round(res.best_psnr, 3),
