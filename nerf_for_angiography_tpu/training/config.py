@@ -270,6 +270,17 @@ def parse_train_args(argv=None) -> TrainConfig:
         help="weighted ray sampler (overdraw = fast table sampler; "
         "gumbel = exact pandas successive-draw semantics)",
     )
+    p.add_argument(
+        "--carve_init", action="store_true",
+        help="space-carving occupancy-grid init from unattenuated training "
+        "rays (skips most of the dense warmup phase; auto-disabled with "
+        "--pose_refine)",
+    )
+    p.add_argument(
+        "--compact_engage_max", default=None,
+        help="interim compaction ladder cap: engage the compacted stepper "
+        "early with k up to this value (0 = wait for compact_samples fit)",
+    )
     a = p.parse_args(argv)
 
     kw = {}
@@ -307,6 +318,10 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["mlp_backend"] = a.mlp_backend
     if a.sampling_impl:
         kw["sampling_impl"] = a.sampling_impl
+    if a.carve_init:
+        kw["carve_init"] = True
+    if a.compact_engage_max is not None:
+        kw["compact_engage_max"] = int(a.compact_engage_max)
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 
