@@ -99,7 +99,11 @@ def main():
     # width — see benchmarks/MFU.md). Default follows TrainConfig
     # (grid_jitter=False): the bench measures the shipped defaults.
     cfg = TrainConfig(
-        grid_jitter=os.environ.get("BENCH_GRID_JITTER", "0") == "1"
+        grid_jitter=os.environ.get("BENCH_GRID_JITTER", "0") == "1",
+        # BENCH_K_MARGIN sweeps the grid-evolution margin on the runtime
+        # compaction width (TrainConfig.compact_k_margin) — the MLP cost is
+        # linear in k, so this measures the margin's per-step price
+        compact_k_margin=float(os.environ.get("BENCH_K_MARGIN", "1.15")),
     )  # 75^2 rays, 300 samples, 4x128, 128^3 grid
     dcfg = DatagenConfig(
         limited_size=180.0,

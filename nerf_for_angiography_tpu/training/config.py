@@ -124,6 +124,18 @@ class TrainConfig:
     # jitter-fattened grid pays a few extra fine probes instead of
     # falling through to the slower lattice march.
     hybrid_w_cap: int = 0
+    # grid-evolution margin on the runtime compaction width k
+    # (train.py::compact_k_for): k = ceil(width * margin / 8) * 8. The
+    # compacted step's MLP cost is LINEAR in k, so every margin point is
+    # paid on every step, while the loop re-measures and grows k at
+    # display cadence anyway — the same economics that removed the
+    # hybrid_w_cap margin in round 3 (a 15% w_cap margin measured
+    # 4.60 vs 4.38 ms/step for nothing). Kept slightly above 1.0 by
+    # default: unlike w_cap (whose re-check GROWS before truncation can
+    # bias), an undersized k drops ACTIVE samples for up to one re-check
+    # interval when the EMA re-thresholds cells back on. (1.15 until the
+    # lower margins clear the 20k-iter quality gate on the TPU.)
+    compact_k_margin: float = 1.15
     # how often (iters) the loop checks whether the grid has pruned enough
     # to engage the compacted stepper. The dense phase runs at ~1/4 of the
     # compacted throughput, so checking only at display_every cadence (the

@@ -103,6 +103,10 @@ class TrainResult:
     iters_run: int
     rays_per_sec: float
     page_data: dict
+    # wall-clock breakdown of the production loop (seconds): where the
+    # 20k-iter protocol's time actually goes (steady steps vs compiles vs
+    # eval/export/choose driver work) — the QUALITY.md overhead accounting
+    timing: dict = dataclasses.field(default_factory=dict)
 
 
 def build_page_data(cfg: TrainConfig, exp_name: str) -> dict:
@@ -335,30 +339,58 @@ def train(
     t_start = time.perf_counter()
     rays_done = 0
 
+    # wall-clock phase accounting. "compile" = first invocation of each
+    # distinct jitted runner (one step of compute + the trace/compile —
+    # through the tunnel the compile dominates at 4-12 s); "step" = all
+    # later invocations, blocked to completion so host driver work is not
+    # silently charged to the device.
+    timing = {
+        "step_dense": 0.0, "step_compact": 0.0, "compile": 0.0,
+        "eval": 0.0, "choose": 0.0, "log": 0.0, "export": 0.0,
+    }
+    _seen_runners: set = set()
+    _dense_rays = 0  # rays stepped before compaction engaged
+    _compact_steady_rays = 0  # compacted rays outside first-call chunks
+
     n_iter = start_iter
     while n_iter <= cfg.n_iters:
         # run up to (and including) the next boundary iteration — every
         # cadence the loop observes is a multiple of chunk_c
         m = min(-(-n_iter // chunk_c) * chunk_c, cfg.n_iters)
         count = m - n_iter + 1
+        t0 = time.perf_counter()
         if use_chunks and count == chunk_c:
             runner = compact_chunk_fn() if using_compact else train_chunk
             state, mstack, pred_pix, target_pix = runner(state, train_rays)
             metrics = {k: v[-1] for k, v in mstack.items()}
         else:
-            active_step = compact_step_fn() if using_compact else train_step
+            runner = compact_step_fn() if using_compact else train_step
             for _ in range(count):
-                state, metrics, pred_pix, target_pix = active_step(
+                state, metrics, pred_pix, target_pix = runner(
                     state, train_rays
                 )
+        jax.block_until_ready(pred_pix)
+        rid = id(runner)
+        if rid not in _seen_runners:
+            _seen_runners.add(rid)
+            timing["compile"] += time.perf_counter() - t0
+        elif using_compact:
+            timing["step_compact"] += time.perf_counter() - t0
+            _compact_steady_rays += count * cfg.img_sample_size
+        else:
+            timing["step_dense"] += time.perf_counter() - t0
         rays_done += count * cfg.img_sample_size
+        if not using_compact:
+            _dense_rays += count * cfg.img_sample_size
         n_iter = m
 
         if logger and n_iter % 100 == 0:
+            t0 = time.perf_counter()
             logger.scalars({k: v for k, v in metrics.items() if k != "barf-coarse"}, n_iter)
             p = np.asarray(pred_pix).reshape(cfg.sample_size, cfg.sample_size)
             t = np.asarray(target_pix).reshape(cfg.sample_size, cfg.sample_size)
             logger.train_images(p, t, n_iter)
+            timing["log"] += time.perf_counter() - t0
 
         # compaction-readiness check at its own (faster) cadence: the dense
         # phase runs ~4x slower than compacted, so engaging as soon as the
@@ -367,9 +399,11 @@ def train(
         if want_compact and not using_compact and n_iter % check_every == 0:
             from .train import choose_compact_mode, compact_k_for
 
+            t0 = time.perf_counter()
             choice = choose_compact_mode(
                 cfg, state.grid, test.origins, test.directions, near, far
             )
+            timing["choose"] += time.perf_counter() - t0
             if choice is not None:
                 compact_mode, width, compact_wcap = choice
                 compact_k = compact_k_for(width, cfg)
@@ -398,9 +432,11 @@ def train(
             # compacted mode fits any more
             from .train import choose_compact_mode, compact_k_for
 
+            t0 = time.perf_counter()
             choice = choose_compact_mode(
                 cfg, state.grid, test.origins, test.directions, near, far
             )
+            timing["choose"] += time.perf_counter() - t0
             if choice is None:
                 using_compact = False
                 if verbose:
@@ -435,9 +471,11 @@ def train(
                         )
 
         if n_iter % cfg.display_every == 0:
+            t0 = time.perf_counter()
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
             vessel_psnr = float(test_metrics["psnr/vessel-test-coarse"])
+            timing["eval"] += time.perf_counter() - t0
             last_psnr = psnr
 
             # best-model criterion (run_nerf_acc.py:376)
@@ -455,11 +493,14 @@ def train(
                 )
 
             if logger and n_iter % (cfg.display_every * 2) == 0:
+                t0 = time.perf_counter()
                 logger.scalars(test_metrics, n_iter)
                 img = _assemble_image(test, test_pixels)
                 tgt = _assemble_image(test, test.pixel_values)
                 logger.test_images(img, tgt, n_iter)
+                timing["log"] += time.perf_counter() - t0
 
+            t_exp = time.perf_counter()
             if log_dir and cfg.grid_export:
                 g, vg = _grid_snapshot(state.grid), _grid_snapshot(state.vessel_grid)
                 writer.submit(
@@ -517,6 +558,7 @@ def train(
 
             if ckpt_mgr and checkpoint_every and n_iter % checkpoint_every == 0 and n_iter > 0:
                 ckpt_mgr.save(n_iter, state)
+            timing["export"] += time.perf_counter() - t_exp
 
             # early stop (run_nerf_acc.py:434-440)
             if n_iter - highest_iter >= cfg.early_stop_iters:
@@ -528,6 +570,27 @@ def train(
 
     elapsed = time.perf_counter() - t_start
     rays_per_sec = rays_done / elapsed if elapsed > 0 else 0.0
+    timing["total"] = elapsed
+    timing["other"] = max(0.0, elapsed - sum(
+        timing[k] for k in ("step_dense", "step_compact", "compile",
+                            "eval", "choose", "log", "export")
+    ))
+    timing["dense_rays"] = _dense_rays
+    timing["steady_rays_per_sec"] = (
+        _compact_steady_rays / timing["step_compact"]
+        if timing["step_compact"] > 0
+        else 0.0
+    )
+    if verbose:
+        print(
+            "timing breakdown (s): "
+            + "  ".join(
+                f"{k}={timing[k]:.1f}"
+                for k in ("total", "step_dense", "step_compact", "compile",
+                          "eval", "choose", "log", "export", "other")
+            )
+            + f"  steady={timing['steady_rays_per_sec']:.0f} rays/s"
+        )
 
     writer.close()  # flush pending VTK exports before reporting done
     if logger:
@@ -542,6 +605,7 @@ def train(
         iters_run=int(min(n_iter, cfg.n_iters)),
         rays_per_sec=float(rays_per_sec),
         page_data=page_data,
+        timing={k: (float(v) if isinstance(v, float) else v) for k, v in timing.items()},
     )
 
 

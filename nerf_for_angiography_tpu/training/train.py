@@ -460,26 +460,28 @@ def choose_compact_mode(
 
 
 def compact_k_for(width: int, cfg: TrainConfig) -> int:
-    """Runtime compaction width: the measured lossless width plus a 15%
-    margin for grid evolution between re-checks, rounded up to a multiple
-    of 8 (f32 sublane tile), capped at the configured budget. The
-    compacted step's MLP cost is linear in k, so sizing k to the measured
-    width instead of always paying cfg.compact_samples is a direct
-    throughput win. (Round 2 rounded to 16 for the one-hot mask einsum's
-    lane axis; that einsum is gone — sort_key_val compaction — and the
-    coarser bucket cost a full 80->96 jump when jittered grid updates
-    nudged the measured width from 69 to 73.)"""
-    k = int(np.ceil(width * 1.15 / 8)) * 8
+    """Runtime compaction width: the measured lossless width plus a
+    grid-evolution margin (cfg.compact_k_margin) for drift between
+    re-checks, rounded up to a multiple of 8 (f32 sublane tile), capped at
+    the configured budget. The compacted step's MLP cost is linear in k,
+    so sizing k to the measured width instead of always paying
+    cfg.compact_samples is a direct throughput win. (Round 2 rounded to 16
+    for the one-hot mask einsum's lane axis; that einsum is gone —
+    sort_key_val compaction — and the coarser bucket cost a full 80->96
+    jump when jittered grid updates nudged the measured width from 69 to
+    73.)"""
+    margin = getattr(cfg, "compact_k_margin", 1.15)
+    k = int(np.ceil(width * margin / 8)) * 8
     if k <= cfg.compact_samples:
         return max(16, k)
     # interim ladder (compact_engage_max): k above the configured budget is
     # bucketed to 32 — a handful of distinct (mode, k) programs per run,
     # all shared across runs via the persistent XLA cache — and capped at
     # the engage max (>= width by choose_compact_mode's 0.9 slack, so the
-    # march stays lossless; only the 15% evolution margin thins).
+    # march stays lossless; only the evolution margin thins).
     emax = getattr(cfg, "compact_engage_max", 0)
     if emax > cfg.compact_samples:
-        k32 = int(np.ceil(width * 1.15 / 32)) * 32
+        k32 = int(np.ceil(width * margin / 32)) * 32
         return max(16, min(k32, emax))
     return max(16, min(k, cfg.compact_samples))
 

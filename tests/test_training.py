@@ -146,6 +146,33 @@ def test_train_with_artifacts(tmp_path, sphere_data):
     want = np.asarray(result.state.params["params"]["output_linear"]["kernel"])
     np.testing.assert_allclose(got, want, atol=1e-6)
 
+    # wall-clock phase accounting (the QUALITY.md driver-overhead
+    # breakdown): the phases must cover the run — 'other' is the residual
+    # and a large value there means a phase went untracked
+    tm = result.timing
+    for key in ("step_dense", "step_compact", "compile", "eval", "choose",
+                "log", "export", "other", "total"):
+        assert key in tm, key
+    tracked = sum(tm[k] for k in ("step_dense", "step_compact", "compile",
+                                  "eval", "choose", "log", "export"))
+    assert tm["total"] >= tracked - 1e-6
+    assert tm["other"] <= 0.25 * tm["total"] + 0.5
+
+
+def test_compact_k_for_margin():
+    """compact_k_for applies compact_k_margin and rounds up to 8."""
+    from nerf_for_angiography_tpu.training.train import compact_k_for
+
+    cfg = tiny_cfg(compact_samples=96)
+    assert compact_k_for(70, cfg) == 88  # ceil(70*1.15/8)*8
+    cfg_nomargin = tiny_cfg(compact_samples=96, compact_k_margin=1.0)
+    assert compact_k_for(70, cfg_nomargin) == 72  # ceil(70/8)*8
+    # the interim ladder buckets by 32 and honors the margin too
+    cfg_engage = tiny_cfg(
+        compact_samples=96, compact_engage_max=192, compact_k_margin=1.0
+    )
+    assert compact_k_for(150, cfg_engage) == 160
+
 
 def test_grid_vtk_roundtrip(tmp_path, sphere_data):
     cfg = tiny_cfg(n_iters=40, display_every=20)

@@ -38,6 +38,10 @@ def main():
         help="interim compaction ladder cap (TrainConfig.compact_engage_max)",
     )
     ap.add_argument(
+        "--k_margin", type=float, default=None,
+        help="grid-evolution margin on k (TrainConfig.compact_k_margin)",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=1,
         help="run train() N times in-process; runs 2+ reuse every compiled "
              "stepper (make_train_* are memoized) — the warm number is the "
@@ -70,6 +74,8 @@ def main():
         kw["carve_init"] = True
     if args.engage_max is not None:
         kw["compact_engage_max"] = args.engage_max
+    if args.k_margin is not None:
+        kw["compact_k_margin"] = args.k_margin
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -97,6 +103,8 @@ def main():
             "vessel_psnr_best": round(res.best_psnr, 3),
             "rays_per_sec": round(res.rays_per_sec),
             "warm": run_i > 0,
+            "timing": {k: (round(v, 2) if isinstance(v, float) else v)
+                       for k, v in res.timing.items()},
         }))
 
 
