@@ -104,6 +104,10 @@ def main():
         # compaction width (TrainConfig.compact_k_margin) — the MLP cost is
         # linear in k, so this measures the margin's per-step price
         compact_k_margin=float(os.environ.get("BENCH_K_MARGIN", "1.15")),
+        # BENCH_HYBRID_SPLIT=0.75 measures the two-bucket span-sorted
+        # hybrid march (march_rays_hybrid2): the narrow fraction pays a
+        # w_lo-sized fine-probe window instead of w_cap
+        hybrid_split=float(os.environ.get("BENCH_HYBRID_SPLIT", "0")),
     )  # 75^2 rays, 300 samples, 4x128, 128^3 grid
     dcfg = DatagenConfig(
         limited_size=180.0,
@@ -150,7 +154,7 @@ def main():
         dataclasses.replace(
             cfg, march_mode=choice.mode,
             compact_samples=compact_k_for(choice.width, cfg),
-            hybrid_w_cap=choice.w_cap,
+            hybrid_w_cap=choice.w_cap, hybrid_w_lo=choice.w_lo,
         )
         if choice
         else dense_cfg

@@ -124,6 +124,15 @@ class TrainConfig:
     # jitter-fattened grid pays a few extra fine probes instead of
     # falling through to the slower lattice march.
     hybrid_w_cap: int = 0
+    # two-bucket hybrid march (ops/occupancy.py::march_rays_hybrid2):
+    # sort the batch by coarse-window span and march the narrow
+    # hybrid_split fraction at the smaller hybrid_w_lo window, the rest at
+    # hybrid_w_cap. The fine-probe count — the step's top cost — drops to
+    # ~ split*w_lo + (1-split)*w_cap of w_cap. 0 disables (single-bucket
+    # hybrid). The loop tunes hybrid_w_lo from the measured hit-ray span
+    # quantile (train.py::hybrid_w_lo_for) exactly like hybrid_w_cap.
+    hybrid_split: float = 0.0
+    hybrid_w_lo: int = 0
     # grid-evolution margin on the runtime compaction width k
     # (train.py::compact_k_for): k = ceil(width * margin / 8) * 8. The
     # compacted step's MLP cost is LINEAR in k, so every margin point is
@@ -293,6 +302,11 @@ def parse_train_args(argv=None) -> TrainConfig:
         help="interim compaction ladder cap: engage the compacted stepper "
         "early with k up to this value (0 = wait for compact_samples fit)",
     )
+    p.add_argument(
+        "--hybrid_split", default=None,
+        help="two-bucket hybrid march: fraction of the batch (sorted by "
+        "span) marched at the smaller auto-tuned w_lo window (0 = off)",
+    )
     a = p.parse_args(argv)
 
     kw = {}
@@ -334,6 +348,8 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["carve_init"] = True
     if a.compact_engage_max is not None:
         kw["compact_engage_max"] = int(a.compact_engage_max)
+    if a.hybrid_split is not None:
+        kw["hybrid_split"] = float(a.hybrid_split)
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 

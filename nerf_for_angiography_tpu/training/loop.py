@@ -249,17 +249,18 @@ def train(
     compact_mode: str | None = None
     compact_k = 0
     compact_wcap = 0  # hybrid candidate window (0 = mode has none)
+    compact_wlo = 0  # two-bucket lo window (0 = single bucket)
     want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
     _stepper_cache: dict = {}
 
     def _compact_entry():
-        key = (compact_mode, compact_k, compact_wcap)
+        key = (compact_mode, compact_k, compact_wcap, compact_wlo)
         entry = _stepper_cache.get(key)
         if entry is None:
             entry = {
                 "cfg": dataclasses.replace(
                     cfg, march_mode=compact_mode, compact_samples=compact_k,
-                    hybrid_w_cap=compact_wcap,
+                    hybrid_w_cap=compact_wcap, hybrid_w_lo=compact_wlo,
                 ),
                 "step": None,
                 "chunk": None,
@@ -405,14 +406,17 @@ def train(
             )
             timing["choose"] += time.perf_counter() - t0
             if choice is not None:
-                compact_mode, width, compact_wcap = choice
+                compact_mode, width = choice.mode, choice.width
+                compact_wcap, compact_wlo = choice.w_cap, choice.w_lo
                 compact_k = compact_k_for(width, cfg)
                 using_compact = True
                 if verbose:
                     print(
                         f"switching to compacted stepper at iter {n_iter} "
                         f"(march_mode={compact_mode}, needed width/ray "
-                        f"{width} -> k={compact_k}, w_cap={compact_wcap})"
+                        f"{width} -> k={compact_k}, w_cap={compact_wcap}"
+                        + (f", w_lo={compact_wlo}" if compact_wlo else "")
+                        + ")"
                     )
 
         # re-validate / re-tune the engaged compacted stepper. Cadence:
@@ -445,7 +449,9 @@ def train(
                         "(no compacted mode fits the evolved grid)"
                     )
             else:
-                mode2, width2, wcap2 = choice
+                mode2, width2, wcap2, wlo2 = (
+                    choice.mode, choice.width, choice.w_cap, choice.w_lo
+                )
                 k2 = compact_k_for(width2, cfg)
                 if mode2 == compact_mode:
                     # same mode: GROW freely (losslessness forces it), but
@@ -453,21 +459,26 @@ def train(
                     # shrinks would thrash compiles for marginal MLP time,
                     # while ladder descents (interim k -> budget k) and
                     # real grid convergence pay for themselves. Every
-                    # (mode, k, w_cap) program is cached in-process AND in
-                    # the persistent XLA cache across runs.
+                    # (mode, k, w_cap, w_lo) program is cached in-process
+                    # AND in the persistent XLA cache across runs.
                     if k2 > compact_k - 32:
                         k2 = max(k2, compact_k)
                     if wcap2 > compact_wcap - 32:
                         wcap2 = max(wcap2, compact_wcap)
-                if (mode2, k2, wcap2) != (
-                    compact_mode, compact_k, compact_wcap
+                    if wlo2 and compact_wlo and wlo2 > compact_wlo - 32:
+                        wlo2 = max(wlo2, compact_wlo)
+                if (mode2, k2, wcap2, wlo2) != (
+                    compact_mode, compact_k, compact_wcap, compact_wlo
                 ):
-                    compact_mode, compact_k, compact_wcap = mode2, k2, wcap2
+                    compact_mode, compact_k = mode2, k2
+                    compact_wcap, compact_wlo = wcap2, wlo2
                     if verbose:
                         print(
                             f"retuning compacted stepper at iter {n_iter} "
                             f"(march_mode={compact_mode}, width {width2} "
-                            f"-> k={compact_k}, w_cap={compact_wcap})"
+                            f"-> k={compact_k}, w_cap={compact_wcap}"
+                            + (f", w_lo={compact_wlo}" if compact_wlo else "")
+                            + ")"
                         )
 
         if n_iter % cfg.display_every == 0:

@@ -35,6 +35,7 @@ from ..ops.occupancy import (
     every_n_step_pair,
     march_rays,
     march_rays_hybrid,
+    march_rays_hybrid2,
     march_rays_window,
     prune_mask,
     safe_occ_stride,
@@ -273,14 +274,23 @@ def _march_for(
             k=cfg.compact_samples, aabb_extent=2 * cfg.outside,
         )
     if compacting and cfg.march_mode == "hybrid":
+        stride = safe_occ_stride(
+            cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
+            2 * cfg.outside, cfg.grid_resolution,
+        )
+        if cfg.hybrid_split > 0.0 and cfg.hybrid_w_lo > 0:
+            return march_rays_hybrid2(
+                grid, origins, directions, cfg.depth_samples_per_ray,
+                near, far, k=cfg.compact_samples,
+                w_lo=cfg.hybrid_w_lo, w_cap=cfg.hybrid_w_cap or None,
+                split=cfg.hybrid_split, aabb_extent=2 * cfg.outside,
+                occ_stride=stride,
+            )
         return march_rays_hybrid(
             grid, origins, directions, cfg.depth_samples_per_ray, near, far,
             k=cfg.compact_samples, w_cap=cfg.hybrid_w_cap or None,
             aabb_extent=2 * cfg.outside,
-            occ_stride=safe_occ_stride(
-                cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
-                2 * cfg.outside, cfg.grid_resolution,
-            ),
+            occ_stride=stride,
         )
     return march_rays(
         grid, origins, directions, cfg.depth_samples_per_ray, near, far,
@@ -294,24 +304,31 @@ def _march_for(
 
 @functools.lru_cache(maxsize=32)
 def _jitted_chooser_stats(
-    n: int, near: float, far: float, k: int, aabb_extent: float
+    n: int, near: float, far: float, k: int, aabb_extent: float,
+    split: float = 0.0,
 ):
     """ONE jitted device probe for the compact-mode chooser, reduced to
-    three int32 scalars on device:
+    four int32 scalars on device:
 
-      ac    — max per-ray active sample count (lattice width)
-      span  — max per-ray (last active - coarse-window start + 1), the
-              hybrid candidate-window requirement. Measured from the
-              UNCLAMPED window start: march_rays_hybrid's far-end clamp
-              (w = clip(start, 0, n - w_cap)) only moves the window
-              earlier, so start-based span <= w_cap guarantees coverage
-      win_w — max per-ray (last active - k-window start + 1), the
-              'window' mode width
+      ac     — max per-ray active sample count (lattice width)
+      span   — max per-ray (last active - coarse-window start + 1), the
+               hybrid candidate-window requirement. Measured from the
+               UNCLAMPED window start: march_rays_hybrid's far-end clamp
+               (w = clip(start, 0, n - w_cap)) only moves the window
+               earlier, so start-based span <= w_cap guarantees coverage
+      win_w  — max per-ray (last active - k-window start + 1), the
+               'window' mode width
+      span_q — with split > 0: the ``split``-quantile of the COARSE span
+               (window end - start + 1, the hybrid2 sort key) over
+               HIT rays — sizes the two-bucket march's w_lo. Hit-only
+               because the probe rays are a uniform view while the train
+               batch is importance-weighted onto the vessel (~all hits);
+               the hit-only quantile tracks the batch's. 0 when split=0.
 
     Unjitted, every march op is a separate dispatch through the tunnel
     (~1.3 ms each); worse, the previous implementation shipped the whole
     (R, n_samples) dense mask to the host per check — ~12 MB through the
-    tunnel at eval cadence. Reduced on device, the transfer is 12 bytes.
+    tunnel at eval cadence. Reduced on device, the transfer is 16 bytes.
     lru-cached so the production loop's periodic checks never re-trace."""
 
     def stats(g, o, d):
@@ -319,10 +336,10 @@ def _jitted_chooser_stats(
         ac = jnp.max(jnp.sum(dm, axis=-1))
         has = jnp.any(dm, axis=-1)
         last = dm.shape[-1] - 1 - jnp.argmax(dm[..., ::-1], axis=-1)
-        start = jnp.maximum(
-            coarse_window(g, o, d, n, near, far, aabb_extent=aabb_extent)[0],
-            0,
+        c_start, c_end, c_hit = coarse_window(
+            g, o, d, n, near, far, aabb_extent=aabb_extent
         )
+        start = jnp.maximum(c_start, 0)
         span = jnp.max(jnp.where(has, last - start + 1, 0))
         t0 = march_rays_window(
             g, o, d, n, near, far, k=k, aabb_extent=aabb_extent
@@ -330,9 +347,25 @@ def _jitted_chooser_stats(
         step_sz = (far - near) / n
         w0 = jnp.round((t0 - near) / step_sz).astype(jnp.int32)
         win_w = jnp.max(jnp.where(has, last - w0 + 1, 0))
-        return jnp.stack(
-            [ac.astype(jnp.int32), span.astype(jnp.int32), win_w.astype(jnp.int32)]
-        )
+        if split > 0.0:
+            # hit-only quantile with static shapes: sort the per-ray
+            # coarse spans DESCENDING (misses carry 0, hits >= 1 sort
+            # first), then index the split-quantile rank among the n_hit
+            # leading entries with a traced scalar index
+            cspan = jnp.where(c_hit, c_end - c_start + 1, 0).astype(jnp.int32)
+            sq = jnp.sort(cspan)[::-1]
+            n_hit = jnp.sum(c_hit.astype(jnp.int32))
+            idx = jnp.clip(
+                n_hit - jnp.ceil(split * n_hit).astype(jnp.int32),
+                0, cspan.shape[0] - 1,
+            )
+            span_q = sq[idx]
+        else:
+            span_q = jnp.zeros((), jnp.int32)
+        return jnp.stack([
+            ac.astype(jnp.int32), span.astype(jnp.int32),
+            win_w.astype(jnp.int32), span_q.astype(jnp.int32),
+        ])
 
     return jax.jit(stats)
 
@@ -340,10 +373,12 @@ def _jitted_chooser_stats(
 def _chooser_stats(cfg, grid, origins, directions, near, far):
     fn = _jitted_chooser_stats(
         cfg.depth_samples_per_ray, near, far, cfg.compact_samples,
-        2 * cfg.outside,
+        2 * cfg.outside, getattr(cfg, "hybrid_split", 0.0),
     )
-    ac, span, win_w = (int(v) for v in np.asarray(fn(grid, origins, directions)))
-    return ac, span, win_w
+    ac, span, win_w, span_q = (
+        int(v) for v in np.asarray(fn(grid, origins, directions))
+    )
+    return ac, span, win_w, span_q
 
 
 def compact_switch_width(
@@ -369,7 +404,7 @@ def compact_switch_width(
     """
     mode = cfg.march_mode if mode is None else mode
     n = cfg.depth_samples_per_ray
-    ac, span, win_w = _chooser_stats(cfg, grid, origins, directions, near, far)
+    ac, span, win_w, _ = _chooser_stats(cfg, grid, origins, directions, near, far)
     if mode == "lattice":
         return ac
     if mode == "window":
@@ -399,14 +434,29 @@ def _max_hybrid_w_cap(n_samples: int) -> int:
     return max(160, (3 * n_samples) // 4)
 
 
+def hybrid_w_lo_for(span_q: int, w_cap: int) -> int:
+    """Two-bucket march: lo-bucket window from the measured hit-ray span
+    quantile, bucketed to 16 (bounds stepper recompiles, like
+    hybrid_w_cap_for) PLUS one 16-bucket of margin — unlike w_cap, an
+    undersized w_lo truncates ACTIVE samples of narrow rays whenever a
+    step's batch quantile lands above the probe's (the probe is one fixed
+    ray set; batches resample every step), and the margin prices at only
+    ``split`` of the probe bill. Floor 32; capped at w_cap (at which
+    point the split is pointless and the caller disables it)."""
+    return min(w_cap, max(32, -(-int(span_q) // 16) * 16 + 16))
+
+
 class CompactChoice(NamedTuple):
     """Compacted-march tuning from the chooser's probe: the mode, the
-    measured lossless active width (sizes k via compact_k_for), and for
-    'hybrid' the span-sized candidate window (0 = mode has no window)."""
+    measured lossless active width (sizes k via compact_k_for), for
+    'hybrid' the span-sized candidate window (0 = mode has no window),
+    and with cfg.hybrid_split > 0 the two-bucket lo window (0 = single
+    bucket)."""
 
     mode: str
     width: int
     w_cap: int = 0
+    w_lo: int = 0
 
 
 def choose_compact_mode(
@@ -445,15 +495,22 @@ def choose_compact_mode(
     }
     modes = chains.get(cfg.march_mode, (cfg.march_mode,))
     # ONE jitted device probe shared across the whole mode chain, reduced
-    # to three scalars on device (_jitted_chooser_stats)
-    ac, span, win_w = _chooser_stats(cfg, grid, origins, directions, near, far)
+    # to four scalars on device (_jitted_chooser_stats)
+    ac, span, win_w, span_q = _chooser_stats(
+        cfg, grid, origins, directions, near, far
+    )
     for mode in modes:
         if mode == "window" and win_w <= budget:
             return CompactChoice("window", win_w)
         if mode == "hybrid":
             wcap = hybrid_w_cap_for(span, n)
             if ac <= budget and wcap <= _max_hybrid_w_cap(n):
-                return CompactChoice("hybrid", ac, wcap)
+                w_lo = 0
+                if getattr(cfg, "hybrid_split", 0.0) > 0.0:
+                    w_lo = hybrid_w_lo_for(span_q, wcap)
+                    if w_lo >= wcap:
+                        w_lo = 0  # no narrow majority — single bucket
+                return CompactChoice("hybrid", ac, wcap, w_lo)
         if mode == "lattice" and ac <= budget:
             return CompactChoice("lattice", ac)
     return None

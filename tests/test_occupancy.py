@@ -864,3 +864,149 @@ def test_choose_compact_mode_interim_engagement():
     k = compact_k_for(choice.width, cfg1)
     assert k >= choice.width  # lossless cover
     assert k > cfg1.compact_samples and k % 32 == 0 and k <= 160
+
+
+# ---------------------------------------------------------------------------
+# two-bucket hybrid marching (march_rays_hybrid2 — span-sorted w_lo/w_cap)
+# ---------------------------------------------------------------------------
+
+from nerf_for_angiography_tpu.ops import march_rays_hybrid2  # noqa: E402
+from nerf_for_angiography_tpu.ops.occupancy import MarchedRays  # noqa: E402
+
+
+def test_hybrid2_equals_hybrid_when_wlo_covers():
+    """With w_lo large enough to cover every lo-bucket span, the two-bucket
+    march is EXACTLY the single-bucket hybrid, field for field, in the
+    INPUT ray order (the inverse permutation is transparent)."""
+    for res, radius in [(64, 20.0), (128, 30.0)]:
+        g = create_grid(AABB, res)
+        g = update_grid(g, lambda p: sphere_sigma(p, radius), occ_thre=1e-4)
+        o, d = _rand_rays(jax.random.PRNGKey(res + 2), 128)
+        near, far, n, k = 1400.0, 1600.0, 300, 96
+        hyb = march_rays_hybrid(
+            g, o, d, n, near, far, k=k, w_cap=192, aabb_extent=200.0
+        )
+        two = march_rays_hybrid2(
+            g, o, d, n, near, far, k=k, w_lo=160, w_cap=192,
+            split=0.75, aabb_extent=200.0,
+        )
+        # identical active sets per INPUT ray (inactive slots carry
+        # window-width-dependent fill values and are excluded by design)
+        np.testing.assert_allclose(
+            np.asarray(two.mask), np.asarray(hyb.mask), err_msg=f"res={res}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(two.t_starts * two.mask),
+            np.asarray(hyb.t_starts * hyb.mask),
+            atol=1e-5, err_msg=f"t_starts res={res}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(two.positions * two.mask[..., None]),
+            np.asarray(hyb.positions * hyb.mask[..., None]),
+            atol=1e-4, err_msg=f"positions res={res}",
+        )
+        # renders match
+        field = lambda p: sphere_sigma(p, radius=radius - 2.0, value=0.4)  # noqa: E731
+        dt = (far - near) / n
+        px_h = np.asarray(jnp.exp(-jnp.sum(field(hyb.positions) * hyb.mask * dt, -1)))
+        px_2 = np.asarray(jnp.exp(-jnp.sum(field(two.positions) * two.mask * dt, -1)))
+        np.testing.assert_allclose(px_2, px_h, atol=1e-5, err_msg=f"res={res}")
+
+
+def test_hybrid2_small_wlo_truncates_only_actives_subset():
+    """An undersized w_lo may drop active samples of narrow rays, but every
+    sample the two-bucket march keeps must be active in the single-bucket
+    hybrid (no false actives, no resampled positions)."""
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(11), 96)
+    near, far, n, k = 1400.0, 1600.0, 300, 96
+    hyb = march_rays_hybrid(g, o, d, n, near, far, k=k, aabb_extent=200.0)
+    two = march_rays_hybrid2(
+        g, o, d, n, near, far, k=k, w_lo=48, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    for r in range(o.shape[0]):
+        th = set(np.round(
+            np.asarray(hyb.t_starts[r])[np.asarray(hyb.mask[r]) > 0], 4
+        ))
+        tt = np.round(
+            np.asarray(two.t_starts[r])[np.asarray(two.mask[r]) > 0], 4
+        )
+        extra = [t for t in tt if t not in th]
+        assert not extra, (r, extra)
+
+
+def test_hybrid2_jittable_and_matches_eager():
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(13), 64)
+    f = jax.jit(lambda g, o, d: march_rays_hybrid2(
+        g, o, d, 300, 1400.0, 1600.0, k=80, w_lo=96, w_cap=160,
+        split=0.75, occ_stride=2, aabb_extent=200.0,
+    ))
+    m = f(g, o, d)
+    assert m.positions.shape == (64, 80, 3)
+    m2 = march_rays_hybrid2(
+        g, o, d, 300, 1400.0, 1600.0, k=80, w_lo=96, w_cap=160,
+        split=0.75, occ_stride=2, aabb_extent=200.0,
+    )
+    np.testing.assert_allclose(np.asarray(m.mask), np.asarray(m2.mask))
+    np.testing.assert_allclose(
+        np.asarray(m.t_starts), np.asarray(m2.t_starts), atol=1e-5
+    )
+
+
+def test_hybrid2_degenerate_falls_back():
+    """R < 2, w_lo >= w_cap, or a degenerate split fall back to the
+    single-bucket hybrid rather than building empty buckets."""
+    g = _sphere_grid(res=32)
+    o, d = _rand_rays(jax.random.PRNGKey(17), 1)
+    m1 = march_rays_hybrid2(
+        g, o, d, 200, 1400.0, 1600.0, k=64, w_lo=48, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    h1 = march_rays_hybrid(
+        g, o, d, 200, 1400.0, 1600.0, k=64, w_cap=160, aabb_extent=200.0
+    )
+    np.testing.assert_allclose(np.asarray(m1.mask), np.asarray(h1.mask))
+    o2, d2 = _rand_rays(jax.random.PRNGKey(19), 16)
+    m2 = march_rays_hybrid2(
+        g, o2, d2, 200, 1400.0, 1600.0, k=64, w_lo=160, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    h2 = march_rays_hybrid(
+        g, o2, d2, 200, 1400.0, 1600.0, k=64, w_cap=160, aabb_extent=200.0
+    )
+    np.testing.assert_allclose(np.asarray(m2.mask), np.asarray(h2.mask))
+
+
+def test_hybrid_w_lo_for_rule():
+    from nerf_for_angiography_tpu.training.train import hybrid_w_lo_for
+
+    assert hybrid_w_lo_for(30, 160) == 48   # ceil16(30)+16
+    assert hybrid_w_lo_for(0, 160) == 32    # floor
+    assert hybrid_w_lo_for(150, 160) == 160  # capped (caller disables)
+    assert hybrid_w_lo_for(64, 160) == 80
+
+
+def test_choose_compact_mode_reports_w_lo():
+    """With hybrid_split > 0 the chooser sizes the lo window from the
+    hit-ray span quantile; without it w_lo stays 0."""
+    from nerf_for_angiography_tpu.training.config import TrainConfig
+    from nerf_for_angiography_tpu.training.train import choose_compact_mode
+
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(23), 512)
+    base = dict(
+        depth_samples_per_ray=300, compact_samples=128, outside=100.0,
+        grid_resolution=64, march_mode="hybrid",
+    )
+    c0 = choose_compact_mode(TrainConfig(**base), g, o, d, 1400.0, 1600.0)
+    assert c0 is not None and c0.mode == "hybrid" and c0.w_lo == 0
+    c1 = choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75), g, o, d, 1400.0, 1600.0
+    )
+    assert c1 is not None and c1.mode == "hybrid"
+    # a sphere's spans are fairly uniform: the quantile-sized lo window
+    # may or may not clear the cap; either w_lo == 0 (disabled) or a
+    # 16-bucketed width strictly inside the cap
+    assert c1.w_lo == 0 or (32 <= c1.w_lo < c1.w_cap and c1.w_lo % 16 == 0)

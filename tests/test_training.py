@@ -535,3 +535,28 @@ def test_carve_init_engages_compaction_immediately(sphere_data, capsys):
     assert m, out
     k = int(m.group(1))
     assert cfg.compact_samples < k <= cfg.compact_engage_max
+
+
+def test_train_step_hybrid2_march(sphere_data):
+    """One jitted train step through the two-bucket hybrid march
+    (hybrid_split + hybrid_w_lo): finite loss, params move, and the loss
+    matches the single-bucket hybrid step when w_lo covers every span
+    (the split is then a pure re-ordering of the batch)."""
+    base = dict(
+        depth_samples_per_ray=200, grid_resolution=32, sample_size=12,
+        outside=100.0, march_mode="hybrid", compact_samples=48,
+    )
+    cfg2 = tiny_cfg(**base, hybrid_split=0.75, hybrid_w_lo=160,
+                    hybrid_w_cap=160)
+    cfg1 = tiny_cfg(**base, hybrid_w_cap=160)
+    model, state2 = create_train_state(cfg2, jax.random.PRNGKey(0))
+    _, state1 = create_train_state(cfg1, jax.random.PRNGKey(0))
+    step2 = make_train_step(model, cfg2, near=1400.0, far=1600.0)
+    step1 = make_train_step(model, cfg1, near=1400.0, far=1600.0)
+    s2, m2, _, _ = step2(state2, sphere_data.rays)
+    s1, m1, _, _ = step1(state1, sphere_data.rays)
+    l2 = float(m2["loss/train-pixel-coarse"])
+    l1 = float(m1["loss/train-pixel-coarse"])
+    assert np.isfinite(l2)
+    assert abs(l2 - l1) < 1e-6, (l2, l1)
+    assert int(s2.step) == 1

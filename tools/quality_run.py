@@ -42,6 +42,10 @@ def main():
         help="grid-evolution margin on k (TrainConfig.compact_k_margin)",
     )
     ap.add_argument(
+        "--hybrid_split", type=float, default=None,
+        help="two-bucket hybrid march split fraction (TrainConfig.hybrid_split)",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=1,
         help="run train() N times in-process; runs 2+ reuse every compiled "
              "stepper (make_train_* are memoized) — the warm number is the "
@@ -76,6 +80,8 @@ def main():
         kw["compact_engage_max"] = args.engage_max
     if args.k_margin is not None:
         kw["compact_k_margin"] = args.k_margin
+    if args.hybrid_split is not None:
+        kw["hybrid_split"] = args.hybrid_split
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
