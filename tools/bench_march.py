@@ -110,6 +110,50 @@ def main():
                 occ_stride=stride, aabb_extent=extent).mask)
         ) * 1e3
 
+    # --- two-bucket hybrid (march_rays_hybrid2) on a WEIGHTED batch ---
+    # the training batch is importance-sampled onto the vessel; spans and
+    # the split's payoff must be measured under that distribution, not the
+    # raster-order rays above
+    from nerf_for_angiography_tpu.ops.occupancy import march_rays_hybrid2
+    from nerf_for_angiography_tpu.ops.sampling import (
+        build_sampling_table, sample_pixel_rays,
+    )
+
+    rays_t = ds.rays._replace(
+        sampling_table=build_sampling_table(ds.rays.weights)
+    )
+    batch = sample_pixel_rays(
+        jax.random.PRNGKey(7), rays_t, args.rays, weighted=True,
+        impl="overdraw",
+    )
+    ow, dw = batch.origins, batch.directions
+    c_start, c_end, c_hit = jax.jit(
+        lambda o_, d_: coarse_window(grid, o_, d_, n, near, far,
+                                     aabb_extent=extent)
+    )(ow, dw)
+    import numpy as _np
+    span = _np.asarray(
+        jnp.where(c_hit, c_end - c_start + 1, 0).astype(jnp.int32)
+    )
+    results["span_pct_weighted"] = {
+        f"p{p}": int(_np.percentile(span, p)) for p in (50, 75, 90, 100)
+    }
+    results["span_hit_frac"] = round(float(_np.asarray(c_hit).mean()), 4)
+
+    for w_lo in (64, 96, 128):
+        results[f"hybrid2_{w_lo}_160_ms"] = timeit_on_device(
+            lambda i, w=w_lo: jnp.sum(march_rays_hybrid2(
+                grid, ow + i * 1e-6, dw, n, near, far, k=args.k,
+                w_lo=w, w_cap=160, split=0.75,
+                occ_stride=stride, aabb_extent=extent).mask)
+        ) * 1e3
+    # single-bucket on the same weighted batch (the fair baseline)
+    results["hybrid160_weighted_ms"] = timeit_on_device(
+        lambda i: jnp.sum(march_rays_hybrid(
+            grid, ow + i * 1e-6, dw, n, near, far, k=args.k, w_cap=160,
+            occ_stride=stride, aabb_extent=extent).mask)
+    ) * 1e3
+
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in results.items()}))
 

@@ -44,6 +44,7 @@ stage() {
   echo "=== STAGE $name done rc=$rc $(date -u +%H:%M:%S) ===" | tee -a /tmp/r3_queue2_status
 }
 
+stage march_h2 1800 python tools/bench_march.py
 stage hybrid2 900 env BENCH_HYBRID_SPLIT=0.75 python bench.py
 stage kmargin 900 env BENCH_K_MARGIN=1.0 python bench.py
 stage compaction 1200 python tools/bench_compaction.py
