@@ -90,6 +90,7 @@ def main():
     from nerf_for_angiography_tpu.training.train import (
         choose_compact_mode,
         compact_k_for,
+        compact_k_lo_for,
         make_train_chunk,
     )
 
@@ -108,6 +109,10 @@ def main():
         # hybrid march (march_rays_hybrid2): the narrow fraction pays a
         # w_lo-sized fine-probe window instead of w_cap
         hybrid_split=float(os.environ.get("BENCH_HYBRID_SPLIT", "0")),
+        # BENCH_BUCKET_K=1 additionally gives the narrow bucket its own
+        # auto-tuned compaction width k_lo < k (march_rays_hybrid2k) —
+        # the MLP point count drops to ~ split*k_lo + (1-split)*k of k
+        hybrid_bucket_k=os.environ.get("BENCH_BUCKET_K", "0") == "1",
     )  # 75^2 rays, 300 samples, 4x128, 128^3 grid
     dcfg = DatagenConfig(
         limited_size=180.0,
@@ -150,15 +155,18 @@ def main():
 
     # --- phase 2: steady-state with the auto-compacted stepper (same
     # mode + adaptive-k selection the training loop makes) ---
-    use_cfg = (
-        dataclasses.replace(
-            cfg, march_mode=choice.mode,
-            compact_samples=compact_k_for(choice.width, cfg),
-            hybrid_w_cap=choice.w_cap, hybrid_w_lo=choice.w_lo,
+    if choice:
+        k_run = compact_k_for(choice.width, cfg)
+        k_lo_run = (
+            compact_k_lo_for(choice.width_lo, k_run, cfg) if choice.w_lo else 0
         )
-        if choice
-        else dense_cfg
-    )
+        use_cfg = dataclasses.replace(
+            cfg, march_mode=choice.mode, compact_samples=k_run,
+            hybrid_w_cap=choice.w_cap, hybrid_w_lo=choice.w_lo,
+            hybrid_k_lo=k_lo_run,
+        )
+    else:
+        use_cfg = dense_cfg
     chunk = make_train_chunk(model, use_cfg, 1400.0, 1600.0, steps_per_call)
     for _ in range(2):  # compile + warm
         state, metrics, _, _ = chunk(state, rays)
@@ -179,6 +187,12 @@ def main():
     # self-describing hard number; vs_baseline divides by an ESTIMATED
     # reference rate (no published figure exists) and is labeled as such.
     k_eff = use_cfg.compact_samples or use_cfg.depth_samples_per_ray
+    if use_cfg.hybrid_k_lo and use_cfg.hybrid_split > 0:
+        # per-bucket k: the narrow split fraction feeds k_lo samples/ray
+        k_eff = (
+            use_cfg.hybrid_split * use_cfg.hybrid_k_lo
+            + (1 - use_cfg.hybrid_split) * k_eff
+        )
     f = cfg.num_hidden_units
     macs_fwd = 3 * f + cfg.num_layers * f * f + f
     flop_per_step = cfg.img_sample_size * k_eff * macs_fwd * 2 * 3

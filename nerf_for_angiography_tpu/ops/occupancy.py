@@ -1002,6 +1002,99 @@ def march_rays_hybrid2(
     )
 
 
+class BucketedRays(NamedTuple):
+    """Two-bucket march output (``march_rays_hybrid2k``): the span-sorted
+    ray batch split into a narrow lo bucket marched at (w_lo, k_lo) and a
+    wide hi bucket at (w_cap, k). The buckets deliberately keep DIFFERENT
+    per-ray sample counts — the whole point is that the narrow majority
+    feeds k_lo < k samples/ray to the MLP — so they cannot be concatenated
+    back into one rectangular MarchedRays. ``inv`` maps concat([lo, hi])
+    ROW order back to the input ray order; apply it to per-RAY quantities
+    (composited pixels) only."""
+
+    lo: MarchedRays  # (R_lo, k_lo)
+    hi: MarchedRays  # (R_hi, k)
+    inv: jnp.ndarray  # (R,) int32: input ray i came from concat row inv[i]
+
+
+def march_rays_hybrid2k(
+    grid: OccupancyGrid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    n_samples: int,
+    near: float,
+    far: float,
+    k: int,
+    k_lo: int,
+    w_lo: int,
+    w_cap: int | None = None,
+    split: float = 0.75,
+    occ_stride: int = 1,
+    coarse_factor: int | None = None,
+    aabb_extent: float | None = None,
+) -> BucketedRays | MarchedRays:
+    """Two-bucket hybrid march with PER-BUCKET compaction width.
+
+    ``march_rays_hybrid2`` cuts the fine-probe bill by marching the narrow
+    ``split`` fraction of the span-sorted batch at w_lo < w_cap, but both
+    buckets still emit k samples/ray — and the MLP (the step's other half,
+    benchmarks/MFU.md) prices per POINT. A lo-bucket ray's active count is
+    bounded by w_lo and typically far below k, so giving the lo bucket its
+    own k_lo shrinks the MLP point count to
+    ``split*k_lo + (1-split)*k ~ 0.6-0.75x`` of R*k at the flagship shape.
+
+    Semantics: each bucket runs the EXACT ``_hybrid_fine`` march at its own
+    (window, k). Loss classes are exactly hybrid2's w_lo truncation plus
+    k_lo-truncation WITHIN the lo bucket — the training loop sizes k_lo
+    from the measured lo-bucket active-count maximum (the chooser's
+    ``ac_lo`` stat) and re-grows it at check cadence, the same losslessness
+    protocol as k/w_cap/w_lo. Degenerate configurations (k_lo >= k, w_lo >=
+    w_cap, too few rays) fall back to the single-k marches — callers branch
+    on the STATIC return type.
+    """
+    n_rays = origins.shape[0]
+    if w_cap is None:
+        w_cap = hybrid_w_cap(k, n_samples)
+    w_cap = min(w_cap, n_samples)
+    w_lo = min(max(w_lo, 16), w_cap)
+    k_lo = min(max(k_lo, 8), k)
+    cut = int(n_rays * split)
+    if k_lo >= k:
+        return march_rays_hybrid2(
+            grid, origins, directions, n_samples, near, far, k,
+            w_lo=w_lo, w_cap=w_cap, split=split, occ_stride=occ_stride,
+            coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+        )
+    if n_rays < 2 or cut < 1 or cut >= n_rays or w_lo >= w_cap:
+        return march_rays_hybrid(
+            grid, origins, directions, n_samples, near, far, k,
+            w_cap=w_cap, occ_stride=occ_stride,
+            coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+        )
+
+    start_idx, end_idx, any_hit = coarse_window(
+        grid, origins, directions, n_samples, near, far,
+        coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+    )
+    span = jnp.where(any_hit, end_idx - start_idx + 1, 0).astype(jnp.int32)
+    perm = jnp.argsort(span)  # stable: deterministic across shardings
+
+    o_s = jnp.take(origins, perm, axis=0)
+    d_s = jnp.take(directions, perm, axis=0)
+    st_s = jnp.take(start_idx, perm, axis=0)
+    ah_s = jnp.take(any_hit, perm, axis=0)
+
+    m_lo = _hybrid_fine(
+        grid, o_s[:cut], d_s[:cut], st_s[:cut], ah_s[:cut],
+        n_samples, near, far, k_lo, w_lo, occ_stride,
+    )
+    m_hi = _hybrid_fine(
+        grid, o_s[cut:], d_s[cut:], st_s[cut:], ah_s[cut:],
+        n_samples, near, far, k, w_cap, occ_stride,
+    )
+    return BucketedRays(lo=m_lo, hi=m_hi, inv=jnp.argsort(perm))
+
+
 def compact_rays(m: MarchedRays, k: int) -> MarchedRays:
     """Compact the fixed lattice to the first k active samples per ray.
 

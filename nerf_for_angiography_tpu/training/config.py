@@ -133,6 +133,18 @@ class TrainConfig:
     # quantile (train.py::hybrid_w_lo_for) exactly like hybrid_w_cap.
     hybrid_split: float = 0.0
     hybrid_w_lo: int = 0
+    # per-bucket compaction width for the two-bucket march
+    # (ops/occupancy.py::march_rays_hybrid2k): with hybrid_bucket_k the
+    # narrow bucket emits only hybrid_k_lo samples/ray to the MLP — its
+    # active counts are bounded by hybrid_w_lo and typically far below k,
+    # so the MLP point count (the step's other half) drops to
+    # ~ split*k_lo + (1-split)*k of k. The loop sizes hybrid_k_lo from the
+    # measured lo-bucket active-count max (the chooser's ac_lo stat,
+    # train.py::compact_k_lo_for) and re-grows it at check cadence —
+    # the same losslessness protocol as k/w_cap/w_lo. hybrid_k_lo is the
+    # RUNTIME value (normally loop-tuned); 0 = single k.
+    hybrid_bucket_k: bool = False
+    hybrid_k_lo: int = 0
     # grid-evolution margin on the runtime compaction width k
     # (train.py::compact_k_for): k = ceil(width * margin / 8) * 8. The
     # compacted step's MLP cost is LINEAR in k, so every margin point is
@@ -307,6 +319,12 @@ def parse_train_args(argv=None) -> TrainConfig:
         help="two-bucket hybrid march: fraction of the batch (sorted by "
         "span) marched at the smaller auto-tuned w_lo window (0 = off)",
     )
+    p.add_argument(
+        "--hybrid_bucket_k", action="store_true",
+        help="per-bucket compaction width for the two-bucket march: the "
+        "narrow bucket emits an auto-tuned k_lo < k samples/ray to the MLP "
+        "(needs --hybrid_split > 0)",
+    )
     a = p.parse_args(argv)
 
     kw = {}
@@ -350,6 +368,8 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["compact_engage_max"] = int(a.compact_engage_max)
     if a.hybrid_split is not None:
         kw["hybrid_split"] = float(a.hybrid_split)
+    if a.hybrid_bucket_k:
+        kw["hybrid_bucket_k"] = True
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 

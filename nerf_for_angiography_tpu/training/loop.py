@@ -250,17 +250,19 @@ def train(
     compact_k = 0
     compact_wcap = 0  # hybrid candidate window (0 = mode has none)
     compact_wlo = 0  # two-bucket lo window (0 = single bucket)
+    compact_klo = 0  # two-bucket lo compaction width (0 = single k)
     want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
     _stepper_cache: dict = {}
 
     def _compact_entry():
-        key = (compact_mode, compact_k, compact_wcap, compact_wlo)
+        key = (compact_mode, compact_k, compact_wcap, compact_wlo, compact_klo)
         entry = _stepper_cache.get(key)
         if entry is None:
             entry = {
                 "cfg": dataclasses.replace(
                     cfg, march_mode=compact_mode, compact_samples=compact_k,
                     hybrid_w_cap=compact_wcap, hybrid_w_lo=compact_wlo,
+                    hybrid_k_lo=compact_klo,
                 ),
                 "step": None,
                 "chunk": None,
@@ -398,7 +400,7 @@ def train(
         # grid has pruned — instead of at display cadence — trims minutes
         # off a 20k-iter run. One jitted probe march per check (~ms).
         if want_compact and not using_compact and n_iter % check_every == 0:
-            from .train import choose_compact_mode, compact_k_for
+            from .train import choose_compact_mode, compact_k_for, compact_k_lo_for
 
             t0 = time.perf_counter()
             choice = choose_compact_mode(
@@ -409,6 +411,11 @@ def train(
                 compact_mode, width = choice.mode, choice.width
                 compact_wcap, compact_wlo = choice.w_cap, choice.w_lo
                 compact_k = compact_k_for(width, cfg)
+                compact_klo = (
+                    compact_k_lo_for(choice.width_lo, compact_k, cfg)
+                    if compact_wlo
+                    else 0
+                )
                 using_compact = True
                 if verbose:
                     print(
@@ -416,6 +423,7 @@ def train(
                         f"(march_mode={compact_mode}, needed width/ray "
                         f"{width} -> k={compact_k}, w_cap={compact_wcap}"
                         + (f", w_lo={compact_wlo}" if compact_wlo else "")
+                        + (f", k_lo={compact_klo}" if compact_klo else "")
                         + ")"
                     )
 
@@ -434,7 +442,7 @@ def train(
             # cells back): re-pick the mode and re-size k before truncation
             # can bias training; revert to the dense stepper if no
             # compacted mode fits any more
-            from .train import choose_compact_mode, compact_k_for
+            from .train import choose_compact_mode, compact_k_for, compact_k_lo_for
 
             t0 = time.perf_counter()
             choice = choose_compact_mode(
@@ -453,31 +461,43 @@ def train(
                     choice.mode, choice.width, choice.w_cap, choice.w_lo
                 )
                 k2 = compact_k_for(width2, cfg)
+                klo2 = (
+                    compact_k_lo_for(choice.width_lo, k2, cfg) if wlo2 else 0
+                )
                 if mode2 == compact_mode:
                     # same mode: GROW freely (losslessness forces it), but
                     # SHRINK only past a 32-wide hysteresis band — small
                     # shrinks would thrash compiles for marginal MLP time,
                     # while ladder descents (interim k -> budget k) and
                     # real grid convergence pay for themselves. Every
-                    # (mode, k, w_cap, w_lo) program is cached in-process
-                    # AND in the persistent XLA cache across runs.
+                    # (mode, k, w_cap, w_lo, k_lo) program is cached
+                    # in-process AND in the persistent XLA cache across runs.
                     if k2 > compact_k - 32:
                         k2 = max(k2, compact_k)
                     if wcap2 > compact_wcap - 32:
                         wcap2 = max(wcap2, compact_wcap)
                     if wlo2 and compact_wlo and wlo2 > compact_wlo - 32:
                         wlo2 = max(wlo2, compact_wlo)
-                if (mode2, k2, wcap2, wlo2) != (
-                    compact_mode, compact_k, compact_wcap, compact_wlo
+                    if klo2 and compact_klo and klo2 > compact_klo - 32:
+                        # growing k_lo back to (or past) k means the split
+                        # buys nothing — fall back to single-k there
+                        klo2 = max(klo2, compact_klo)
+                        if klo2 >= k2:
+                            klo2 = 0
+                if (mode2, k2, wcap2, wlo2, klo2) != (
+                    compact_mode, compact_k, compact_wcap, compact_wlo,
+                    compact_klo,
                 ):
                     compact_mode, compact_k = mode2, k2
                     compact_wcap, compact_wlo = wcap2, wlo2
+                    compact_klo = klo2
                     if verbose:
                         print(
                             f"retuning compacted stepper at iter {n_iter} "
                             f"(march_mode={compact_mode}, width {width2} "
                             f"-> k={compact_k}, w_cap={compact_wcap}"
                             + (f", w_lo={compact_wlo}" if compact_wlo else "")
+                            + (f", k_lo={compact_klo}" if compact_klo else "")
                             + ")"
                         )
 

@@ -28,6 +28,7 @@ import optax
 
 from ..models import CPPN, barf_alpha_schedule, init_cppn
 from ..ops.occupancy import (
+    BucketedRays,
     OccupancyGrid,
     coarse_window,
     create_grid,
@@ -36,6 +37,7 @@ from ..ops.occupancy import (
     march_rays,
     march_rays_hybrid,
     march_rays_hybrid2,
+    march_rays_hybrid2k,
     march_rays_window,
     prune_mask,
     safe_occ_stride,
@@ -279,6 +281,14 @@ def _march_for(
             2 * cfg.outside, cfg.grid_resolution,
         )
         if cfg.hybrid_split > 0.0 and cfg.hybrid_w_lo > 0:
+            if cfg.hybrid_bucket_k and cfg.hybrid_k_lo > 0:
+                return march_rays_hybrid2k(
+                    grid, origins, directions, cfg.depth_samples_per_ray,
+                    near, far, k=cfg.compact_samples, k_lo=cfg.hybrid_k_lo,
+                    w_lo=cfg.hybrid_w_lo, w_cap=cfg.hybrid_w_cap or None,
+                    split=cfg.hybrid_split, aabb_extent=2 * cfg.outside,
+                    occ_stride=stride,
+                )
             return march_rays_hybrid2(
                 grid, origins, directions, cfg.depth_samples_per_ray,
                 near, far, k=cfg.compact_samples,
@@ -308,7 +318,7 @@ def _jitted_chooser_stats(
     split: float = 0.0,
 ):
     """ONE jitted device probe for the compact-mode chooser, reduced to
-    four int32 scalars on device:
+    five int32 scalars on device:
 
       ac     — max per-ray active sample count (lattice width)
       span   — max per-ray (last active - coarse-window start + 1), the
@@ -324,6 +334,11 @@ def _jitted_chooser_stats(
                because the probe rays are a uniform view while the train
                batch is importance-weighted onto the vessel (~all hits);
                the hit-only quantile tracks the batch's. 0 when split=0.
+      ac_lo  — with split > 0: the max ACTIVE sample count among the lo
+               bucket's rays (hit rays whose coarse span <= span_q) —
+               sizes the per-bucket k_lo (march_rays_hybrid2k). The lo
+               bucket's march keeps at most min(ac_lo, w_lo) actives, so
+               k_lo >= that is lossless within the bucket. 0 when split=0.
 
     Unjitted, every march op is a separate dispatch through the tunnel
     (~1.3 ms each); worse, the previous implementation shipped the whole
@@ -360,11 +375,19 @@ def _jitted_chooser_stats(
                 0, cspan.shape[0] - 1,
             )
             span_q = sq[idx]
+            # lo-bucket active-count max: the rays hybrid2k's span sort
+            # puts in the lo bucket are exactly those with cspan <= the
+            # split quantile — their max active count sizes k_lo
+            counts = jnp.sum(dm, axis=-1).astype(jnp.int32)
+            lo_sel = c_hit & (cspan <= span_q)
+            ac_lo = jnp.max(jnp.where(lo_sel, counts, 0))
         else:
             span_q = jnp.zeros((), jnp.int32)
+            ac_lo = jnp.zeros((), jnp.int32)
         return jnp.stack([
             ac.astype(jnp.int32), span.astype(jnp.int32),
             win_w.astype(jnp.int32), span_q.astype(jnp.int32),
+            ac_lo.astype(jnp.int32),
         ])
 
     return jax.jit(stats)
@@ -375,10 +398,10 @@ def _chooser_stats(cfg, grid, origins, directions, near, far):
         cfg.depth_samples_per_ray, near, far, cfg.compact_samples,
         2 * cfg.outside, getattr(cfg, "hybrid_split", 0.0),
     )
-    ac, span, win_w, span_q = (
+    ac, span, win_w, span_q, ac_lo = (
         int(v) for v in np.asarray(fn(grid, origins, directions))
     )
-    return ac, span, win_w, span_q
+    return ac, span, win_w, span_q, ac_lo
 
 
 def compact_switch_width(
@@ -404,7 +427,9 @@ def compact_switch_width(
     """
     mode = cfg.march_mode if mode is None else mode
     n = cfg.depth_samples_per_ray
-    ac, span, win_w, _ = _chooser_stats(cfg, grid, origins, directions, near, far)
+    ac, span, win_w, _, _ = _chooser_stats(
+        cfg, grid, origins, directions, near, far
+    )
     if mode == "lattice":
         return ac
     if mode == "window":
@@ -450,13 +475,15 @@ class CompactChoice(NamedTuple):
     """Compacted-march tuning from the chooser's probe: the mode, the
     measured lossless active width (sizes k via compact_k_for), for
     'hybrid' the span-sized candidate window (0 = mode has no window),
-    and with cfg.hybrid_split > 0 the two-bucket lo window (0 = single
-    bucket)."""
+    with cfg.hybrid_split > 0 the two-bucket lo window (0 = single
+    bucket), and with cfg.hybrid_bucket_k the measured lo-bucket active
+    width (sizes k_lo via compact_k_lo_for; 0 = single k)."""
 
     mode: str
     width: int
     w_cap: int = 0
     w_lo: int = 0
+    width_lo: int = 0
 
 
 def choose_compact_mode(
@@ -496,7 +523,7 @@ def choose_compact_mode(
     modes = chains.get(cfg.march_mode, (cfg.march_mode,))
     # ONE jitted device probe shared across the whole mode chain, reduced
     # to four scalars on device (_jitted_chooser_stats)
-    ac, span, win_w, span_q = _chooser_stats(
+    ac, span, win_w, span_q, ac_lo = _chooser_stats(
         cfg, grid, origins, directions, near, far
     )
     for mode in modes:
@@ -506,11 +533,16 @@ def choose_compact_mode(
             wcap = hybrid_w_cap_for(span, n)
             if ac <= budget and wcap <= _max_hybrid_w_cap(n):
                 w_lo = 0
+                width_lo = 0
                 if getattr(cfg, "hybrid_split", 0.0) > 0.0:
                     w_lo = hybrid_w_lo_for(span_q, wcap)
                     if w_lo >= wcap:
                         w_lo = 0  # no narrow majority — single bucket
-                return CompactChoice("hybrid", ac, wcap, w_lo)
+                    elif getattr(cfg, "hybrid_bucket_k", False):
+                        # the lo bucket's march keeps <= min(ac_lo, w_lo)
+                        # active samples — the lossless k_lo requirement
+                        width_lo = min(ac_lo, w_lo)
+                return CompactChoice("hybrid", ac, wcap, w_lo, width_lo)
         if mode == "lattice" and ac <= budget:
             return CompactChoice("lattice", ac)
     return None
@@ -543,6 +575,66 @@ def compact_k_for(width: int, cfg: TrainConfig) -> int:
     return max(16, min(k, cfg.compact_samples))
 
 
+def compact_k_lo_for(width_lo: int, k: int, cfg: TrainConfig) -> int:
+    """Runtime lo-bucket compaction width for the per-bucket-k march
+    (march_rays_hybrid2k): the measured lo-bucket lossless width
+    (CompactChoice.width_lo = min(ac_lo, w_lo)) with the same
+    grid-evolution margin and 8-rounding as compact_k_for, capped at k.
+    Returns 0 when the bucket-k split buys nothing (k_lo would reach k) —
+    callers fall back to the single-k march."""
+    if width_lo <= 0:
+        return 0
+    margin = getattr(cfg, "compact_k_margin", 1.15)
+    k_lo = max(16, int(np.ceil(width_lo * margin / 8)) * 8)
+    return 0 if k_lo >= k else k_lo
+
+
+def _flat_positions(m) -> jnp.ndarray:
+    """Sample positions of a march result as one (P, 3) point batch — for
+    BucketedRays the two buckets concatenate (lo first) so ONE MLP call
+    serves both."""
+    if isinstance(m, BucketedRays):
+        return jnp.concatenate(
+            [m.lo.positions.reshape(-1, 3), m.hi.positions.reshape(-1, 3)],
+            axis=0,
+        )
+    return m.positions.reshape(-1, 3)
+
+
+def _bucket_sigmas(m, raw: jnp.ndarray):
+    """Split the flat MLP output back into per-bucket (R_b, k_b) sigma
+    blocks: [(marched, sigma), ...] — one entry for a rectangular march."""
+    if isinstance(m, BucketedRays):
+        n_lo = m.lo.mask.shape[0] * m.lo.mask.shape[1]
+        sig = jax.nn.sigmoid(raw)
+        return [
+            (m.lo, sig[:n_lo].reshape(m.lo.mask.shape)),
+            (m.hi, sig[n_lo:].reshape(m.hi.mask.shape)),
+        ]
+    return [(m, jax.nn.sigmoid(raw).reshape(m.mask.shape))]
+
+
+def _keep_mask(m, sigma: jnp.ndarray, cfg: TrainConfig) -> tuple:
+    """(dists, keep) for one rectangular bucket.
+
+    nerfacc's alpha_thre exists to SKIP compute for negligible samples; we
+    evaluate the lattice densely anyway, so applying it as a hard mask
+    only changes the pixel by <= alpha_thre per sample while ZEROING the
+    gradient. Worse, a transiently all-transparent field (sigmoid < 1.5e-4
+    everywhere — routine after the initial brighten-everything phase on
+    mostly-white targets) would never recover: every sample pruned, every
+    gradient dead. Keep it available (train_alpha_prune) for strict
+    ablations; default off. early_stop_eps is retained — it only bites on
+    opaque rays where the leading samples still carry gradient."""
+    dists = m.t_ends - m.t_starts
+    keep = prune_mask(
+        sigma, dists, m.mask,
+        cfg.alpha_thre if cfg.train_alpha_prune else 0.0,
+        cfg.early_stop_eps,
+    )
+    return dists, jax.lax.stop_gradient(keep)
+
+
 def render_rays(
     model: CPPN,
     params,
@@ -564,28 +656,30 @@ def render_rays(
     visualization.py:348-352). ``cfg.compact_samples > 0`` gathers only the
     first k occupied samples per ray before the MLP (the nerfacc-style
     skip-empty-space speedup, ops/occupancy.py::compact_rays).
+
+    Returns (pixels, sigma, keep). pixels is always in INPUT ray order;
+    with the two-bucket per-k march engaged (hybrid_bucket_k — the march
+    returns BucketedRays) the per-sample sigma/keep are FLAT (P,) arrays in
+    bucket-concatenation order, since the buckets' per-ray sample counts
+    differ by design. No in-tree consumer reads them in that mode.
     """
     m = _march_for(cfg, grid, origins, directions, near, far)
     raw = density_raw(
-        model, params, m.positions.reshape(-1, 3), barf_alpha, cfg.mlp_backend
+        model, params, _flat_positions(m), barf_alpha, cfg.mlp_backend
     )
-    sigma = jax.nn.sigmoid(raw).reshape(m.mask.shape)
-    dists = m.t_ends - m.t_starts
-    # nerfacc's alpha_thre exists to SKIP compute for negligible samples; we
-    # evaluate the lattice densely anyway, so applying it as a hard mask
-    # only changes the pixel by <= alpha_thre per sample while ZEROING the
-    # gradient. Worse, a transiently all-transparent field (sigmoid < 1.5e-4
-    # everywhere — routine after the initial brighten-everything phase on
-    # mostly-white targets) would never recover: every sample pruned, every
-    # gradient dead. Keep it available (train_alpha_prune) for strict
-    # ablations; default off. early_stop_eps is retained — it only bites on
-    # opaque rays where the leading samples still carry gradient.
-    keep = prune_mask(
-        sigma, dists, m.mask,
-        cfg.alpha_thre if cfg.train_alpha_prune else 0.0,
-        cfg.early_stop_eps,
-    )
-    keep = jax.lax.stop_gradient(keep)
+    if isinstance(m, BucketedRays):
+        parts, sigmas, keeps = [], [], []
+        for mb, sb in _bucket_sigmas(m, raw):
+            dists, keep = _keep_mask(mb, sb, cfg)
+            if binary_thresh is not None:
+                sb = jnp.where(sb < binary_thresh, 0.0, sb)
+            parts.append(jnp.exp(-jnp.sum(sb * keep * dists, axis=-1)))
+            sigmas.append(sb.reshape(-1))
+            keeps.append(keep.reshape(-1))
+        pixels = jnp.take(jnp.concatenate(parts), m.inv, axis=0)
+        return pixels, jnp.concatenate(sigmas), jnp.concatenate(keeps)
+    ((_, sigma),) = _bucket_sigmas(m, raw)
+    dists, keep = _keep_mask(m, sigma, cfg)
     if binary_thresh is not None:
         sigma = jnp.where(sigma < binary_thresh, 0.0, sigma)
     pixels = jnp.exp(-jnp.sum(sigma * keep * dists, axis=-1))
@@ -609,21 +703,20 @@ def render_rays_with_binary(
     — the reference also reuses its predictions tensor there)."""
     m = _march_for(cfg, grid, origins, directions, near, far)
     raw = density_raw(
-        model, params, m.positions.reshape(-1, 3), barf_alpha, cfg.mlp_backend
+        model, params, _flat_positions(m), barf_alpha, cfg.mlp_backend
     )
-    sigma = jax.nn.sigmoid(raw).reshape(m.mask.shape)
-    dists = m.t_ends - m.t_starts
-    keep = jax.lax.stop_gradient(
-        prune_mask(
-            sigma, dists, m.mask,
-            cfg.alpha_thre if cfg.train_alpha_prune else 0.0,
-            cfg.early_stop_eps,
+    parts, bparts = [], []
+    for mb, sigma in _bucket_sigmas(m, raw):
+        dists, keep = _keep_mask(mb, sigma, cfg)
+        parts.append(jnp.exp(-jnp.sum(sigma * keep * dists, axis=-1)))
+        bsigma = jnp.where(sigma < binary_thresh, 0.0, sigma)
+        bparts.append(jnp.exp(-jnp.sum(bsigma * keep * dists, axis=-1)))
+    if isinstance(m, BucketedRays):
+        return (
+            jnp.take(jnp.concatenate(parts), m.inv, axis=0),
+            jnp.take(jnp.concatenate(bparts), m.inv, axis=0),
         )
-    )
-    pixels = jnp.exp(-jnp.sum(sigma * keep * dists, axis=-1))
-    bsigma = jnp.where(sigma < binary_thresh, 0.0, sigma)
-    bpixels = jnp.exp(-jnp.sum(bsigma * keep * dists, axis=-1))
-    return pixels, bpixels
+    return parts[0], bparts[0]
 
 
 def _build_train_step(

@@ -1010,3 +1010,146 @@ def test_choose_compact_mode_reports_w_lo():
     # may or may not clear the cap; either w_lo == 0 (disabled) or a
     # 16-bucketed width strictly inside the cap
     assert c1.w_lo == 0 or (32 <= c1.w_lo < c1.w_cap and c1.w_lo % 16 == 0)
+
+
+# ---------------------------------------------------------------------------
+# per-bucket-k two-bucket marching (march_rays_hybrid2k — the narrow
+# bucket feeds k_lo < k samples/ray to the MLP)
+# ---------------------------------------------------------------------------
+
+from nerf_for_angiography_tpu.ops import (  # noqa: E402
+    BucketedRays,
+    march_rays_hybrid2k,
+)
+
+
+def _bucket_render(two: BucketedRays, field, dt):
+    comp = lambda m: jnp.exp(-jnp.sum(field(m.positions) * m.mask * dt, -1))  # noqa: E731
+    return jnp.take(
+        jnp.concatenate([comp(two.lo), comp(two.hi)]), two.inv, axis=0
+    )
+
+
+def test_hybrid2k_lossless_render_matches_hybrid():
+    """With k_lo sized to the measured active-count max of the batch (and
+    w_lo covering every span), the per-bucket-k march renders EXACTLY like
+    the single-bucket hybrid in the INPUT ray order — the buckets and the
+    inverse permutation are transparent."""
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(29), 128)
+    near, far, n, k = 1400.0, 1600.0, 300, 128
+    hyb = march_rays_hybrid(
+        g, o, d, n, near, far, k=k, w_cap=192, aabb_extent=200.0
+    )
+    ac = int(np.asarray(hyb.mask.sum(-1)).max())
+    k_lo = ((ac + 7) // 8) * 8
+    assert k_lo < k  # genuinely smaller lo bucket, else the test is vacuous
+    two = march_rays_hybrid2k(
+        g, o, d, n, near, far, k=k, k_lo=k_lo, w_lo=160, w_cap=192,
+        split=0.75, aabb_extent=200.0,
+    )
+    assert isinstance(two, BucketedRays)
+    assert two.lo.positions.shape[1] == k_lo
+    assert two.hi.positions.shape[1] == k
+    field = lambda p: sphere_sigma(p, radius=28.0, value=0.4)  # noqa: E731
+    dt = (far - near) / n
+    px2 = np.asarray(_bucket_render(two, field, dt))
+    pxh = np.asarray(jnp.exp(-jnp.sum(field(hyb.positions) * hyb.mask * dt, -1)))
+    np.testing.assert_allclose(px2, pxh, atol=1e-5)
+
+
+def test_hybrid2k_small_klo_truncates_only_actives_subset():
+    """An undersized (k_lo, w_lo) may drop active samples of narrow rays,
+    but every sample either bucket keeps must be active in the single-bucket
+    hybrid for the SAME input ray (no false actives, no resampled
+    positions) — the inv mapping routes each input ray to its bucket row."""
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(31), 96)
+    near, far, n, k = 1400.0, 1600.0, 300, 96
+    hyb = march_rays_hybrid(g, o, d, n, near, far, k=k, aabb_extent=200.0)
+    two = march_rays_hybrid2k(
+        g, o, d, n, near, far, k=k, k_lo=24, w_lo=64, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    assert isinstance(two, BucketedRays)
+    n_lo = two.lo.mask.shape[0]
+    inv = np.asarray(two.inv)
+    for i in range(o.shape[0]):
+        row = int(inv[i])
+        mb = two.lo if row < n_lo else two.hi
+        r = row if row < n_lo else row - n_lo
+        th = set(np.round(
+            np.asarray(hyb.t_starts[i])[np.asarray(hyb.mask[i]) > 0], 4
+        ))
+        tt = np.round(
+            np.asarray(mb.t_starts[r])[np.asarray(mb.mask[r]) > 0], 4
+        )
+        extra = [t for t in tt if t not in th]
+        assert not extra, (i, extra)
+
+
+def test_hybrid2k_fallbacks():
+    """k_lo >= k falls back to the single-k two-bucket march; a degenerate
+    batch falls back to the plain hybrid — both as STATIC MarchedRays so
+    callers branch on the return type at trace time."""
+    g = _sphere_grid(res=32)
+    o, d = _rand_rays(jax.random.PRNGKey(37), 32)
+    m1 = march_rays_hybrid2k(
+        g, o, d, 200, 1400.0, 1600.0, k=64, k_lo=64, w_lo=64, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    assert isinstance(m1, MarchedRays)
+    m2 = march_rays_hybrid2(
+        g, o, d, 200, 1400.0, 1600.0, k=64, w_lo=64, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    np.testing.assert_allclose(np.asarray(m1.mask), np.asarray(m2.mask))
+    o1, d1 = _rand_rays(jax.random.PRNGKey(41), 1)
+    m3 = march_rays_hybrid2k(
+        g, o1, d1, 200, 1400.0, 1600.0, k=64, k_lo=32, w_lo=64, w_cap=160,
+        split=0.75, aabb_extent=200.0,
+    )
+    assert isinstance(m3, MarchedRays)
+    h3 = march_rays_hybrid(
+        g, o1, d1, 200, 1400.0, 1600.0, k=64, w_cap=160, aabb_extent=200.0
+    )
+    np.testing.assert_allclose(np.asarray(m3.mask), np.asarray(h3.mask))
+
+
+def test_compact_k_lo_for_rule():
+    from nerf_for_angiography_tpu.training.config import TrainConfig
+    from nerf_for_angiography_tpu.training.train import compact_k_lo_for
+
+    cfg = TrainConfig()  # compact_k_margin = 1.15
+    assert compact_k_lo_for(0, 96, cfg) == 0    # no lo bucket measured
+    assert compact_k_lo_for(40, 96, cfg) == 48  # ceil8(40 * 1.15)
+    assert compact_k_lo_for(4, 96, cfg) == 16   # floor
+    assert compact_k_lo_for(90, 96, cfg) == 0   # would reach k: disabled
+
+
+def test_choose_compact_mode_reports_width_lo():
+    """With hybrid_bucket_k the chooser also measures the lo-bucket active
+    width (bounded by both w_lo and the global width); without the knob
+    width_lo stays 0."""
+    from nerf_for_angiography_tpu.training.config import TrainConfig
+    from nerf_for_angiography_tpu.training.train import choose_compact_mode
+
+    g = _sphere_grid(res=64)
+    o, d = _rand_rays(jax.random.PRNGKey(43), 512)
+    base = dict(
+        depth_samples_per_ray=300, compact_samples=128, outside=100.0,
+        grid_resolution=64, march_mode="hybrid",
+    )
+    c0 = choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75), g, o, d, 1400.0, 1600.0
+    )
+    assert c0 is not None and c0.width_lo == 0
+    c1 = choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75, hybrid_bucket_k=True),
+        g, o, d, 1400.0, 1600.0,
+    )
+    assert c1 is not None
+    if c1.w_lo:
+        assert 0 < c1.width_lo <= min(c1.w_lo, c1.width)
+    else:
+        assert c1.width_lo == 0

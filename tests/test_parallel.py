@@ -242,6 +242,32 @@ def test_flagship_shape_sharded_equality():
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-4)
 
 
+def test_sharded_hybrid2k_step_matches_single_device(data):
+    """The per-bucket-k march under pjit: batch argsort + two
+    differently-shaped fine marches + the inverse-permutation pixel
+    gather. The loss must be identical replicated vs sharded."""
+    cfg = TrainConfig(
+        depth_samples_per_ray=200, sample_size=16, grid_resolution=32,
+        outside=100.0, n_iters=10, march_mode="hybrid", compact_samples=48,
+        hybrid_split=0.75, hybrid_w_lo=64, hybrid_w_cap=160,
+        hybrid_bucket_k=True, hybrid_k_lo=32,
+    )
+    mesh = create_mesh()
+    losses = {}
+    for shard in (False, True):
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(model, cfg, 1400.0, 1600.0)
+        rays = data.rays
+        if shard:
+            rays = shard_leading_axis(rays, mesh)
+        ls = []
+        for _ in range(3):
+            state, metrics, *_ = step(state, rays)
+            ls.append(float(metrics["loss/train-pixel-coarse"]))
+        losses[shard] = ls
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-4)
+
+
 def test_sharded_hybrid2_step_matches_single_device(data):
     """The two-bucket hybrid march contains a batch-axis argsort; under
     pjit sharding that lowers to a (tiny) cross-device sort. The loss must

@@ -560,3 +560,75 @@ def test_train_step_hybrid2_march(sphere_data):
     assert np.isfinite(l2)
     assert abs(l2 - l1) < 1e-6, (l2, l1)
     assert int(s2.step) == 1
+
+
+def test_train_step_hybrid2k_march(sphere_data):
+    """One jitted train step through the per-bucket-k march
+    (hybrid_bucket_k + hybrid_k_lo, ops/occupancy.py::march_rays_hybrid2k):
+    finite loss and params move — exercises the flat-MLP + per-bucket
+    composite + inverse-permutation gradient path end to end."""
+    cfgk = tiny_cfg(
+        depth_samples_per_ray=200, grid_resolution=32, sample_size=12,
+        outside=100.0, march_mode="hybrid", compact_samples=48,
+        hybrid_split=0.75, hybrid_w_lo=128, hybrid_w_cap=160,
+        hybrid_bucket_k=True, hybrid_k_lo=32,
+    )
+    model, state = create_train_state(cfgk, jax.random.PRNGKey(0))
+    stepk = make_train_step(model, cfgk, near=1400.0, far=1600.0)
+    p0 = jax.tree.map(np.array, state.params)
+    s, m, _, _ = stepk(state, sphere_data.rays)
+    lk = float(m["loss/train-pixel-coarse"])
+    assert np.isfinite(lk) and int(s.step) == 1
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p0, jax.tree.map(np.array, s.params),
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_render_rays_hybrid2k_matches_hybrid_when_lossless(sphere_data):
+    """render_rays through a BucketedRays march returns the SAME pixels (in
+    input ray order) as the single-bucket hybrid when k_lo covers the
+    measured lo-bucket active max — with the real MLP in the loop."""
+    from nerf_for_angiography_tpu.ops import (
+        create_grid,
+        march_rays_hybrid,
+        update_grid,
+    )
+    from nerf_for_angiography_tpu.training.train import render_rays
+
+    def sphere_sigma(p, radius=30.0, value=1.0):
+        return jnp.where(jnp.linalg.norm(p, axis=-1) < radius, value, 0.0)
+
+    base = dict(
+        depth_samples_per_ray=200, grid_resolution=32, sample_size=12,
+        outside=100.0, march_mode="hybrid", compact_samples=96,
+    )
+    aabb = jnp.array([-100.0, -100.0, -100.0, 100.0, 100.0, 100.0])
+    g = create_grid(aabb, 32)
+    g = update_grid(g, sphere_sigma, occ_thre=1e-4)
+    o = sphere_data.rays.origins[:96]
+    d = sphere_data.rays.directions[:96]
+    cfg1 = tiny_cfg(**base, hybrid_w_cap=160)
+    model, state = create_train_state(cfg1, jax.random.PRNGKey(0))
+    hyb = march_rays_hybrid(
+        g, o, d, 200, 1400.0, 1600.0, k=96, w_cap=160, aabb_extent=200.0
+    )
+    ac = int(np.asarray(hyb.mask.sum(-1)).max())
+    k_lo = ((ac + 7) // 8) * 8
+    assert k_lo < 96, (ac, k_lo)
+    # w_lo must stay < w_cap for the split to engage; both cover every
+    # span here, so the render is lossless in both buckets
+    cfgk = tiny_cfg(
+        **base, hybrid_split=0.75, hybrid_w_lo=160, hybrid_w_cap=192,
+        hybrid_bucket_k=True, hybrid_k_lo=k_lo,
+    )
+    px1, _, _ = render_rays(
+        model, state.params, g, o, d, cfg1, 1400.0, 1600.0
+    )
+    pxk, _, _ = render_rays(
+        model, state.params, g, o, d, cfgk, 1400.0, 1600.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(pxk), np.asarray(px1), atol=1e-5
+    )

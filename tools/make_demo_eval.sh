@@ -15,6 +15,7 @@ set -euo pipefail
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WS=${1:-$(mktemp -d /tmp/demo_eval.XXXX)}
 ITERS=${2:-12000}
+mkdir -p "$WS"
 cd "$WS"
 echo "workspace: $WS"
 

@@ -46,6 +46,11 @@ def main():
         help="two-bucket hybrid march split fraction (TrainConfig.hybrid_split)",
     )
     ap.add_argument(
+        "--hybrid_bucket_k", action="store_true",
+        help="per-bucket compaction width for the two-bucket march "
+             "(TrainConfig.hybrid_bucket_k; needs --hybrid_split > 0)",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=1,
         help="run train() N times in-process; runs 2+ reuse every compiled "
              "stepper (make_train_* are memoized) — the warm number is the "
@@ -82,6 +87,8 @@ def main():
         kw["compact_k_margin"] = args.k_margin
     if args.hybrid_split is not None:
         kw["hybrid_split"] = args.hybrid_split
+    if args.hybrid_bucket_k:
+        kw["hybrid_bucket_k"] = True
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -104,6 +111,8 @@ def main():
             "jitter": cfg.grid_jitter,
             "carve": cfg.carve_init,
             "engage_max": cfg.compact_engage_max,
+            "hybrid_split": cfg.hybrid_split,
+            "bucket_k": cfg.hybrid_bucket_k,
             "iters": args.iters,
             "heldout_psnr": round(res.last_psnr, 3),
             "vessel_psnr_best": round(res.best_psnr, 3),
