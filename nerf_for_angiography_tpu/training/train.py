@@ -526,23 +526,52 @@ def choose_compact_mode(
     ac, span, win_w, span_q, ac_lo = _chooser_stats(
         cfg, grid, origins, directions, near, far
     )
+    def hybrid_candidate() -> CompactChoice | None:
+        wcap = hybrid_w_cap_for(span, n)
+        if ac > budget or wcap > _max_hybrid_w_cap(n):
+            return None
+        w_lo = 0
+        width_lo = 0
+        if getattr(cfg, "hybrid_split", 0.0) > 0.0:
+            w_lo = hybrid_w_lo_for(span_q, wcap)
+            if w_lo >= wcap:
+                w_lo = 0  # no narrow majority — single bucket
+            elif getattr(cfg, "hybrid_bucket_k", False):
+                # the lo bucket's march keeps <= min(ac_lo, w_lo)
+                # active samples — the lossless k_lo requirement
+                width_lo = min(ac_lo, w_lo)
+        return CompactChoice("hybrid", ac, wcap, w_lo, width_lo)
+
     for mode in modes:
         if mode == "window" and win_w <= budget:
+            # Measured preference (benchmarks/MFU.md "per-bucket k",
+            # QUALITY.md round-3 table): the chain order prefers the
+            # cheap window march, but when the per-bucket-k hybrid is
+            # configured AND engages, its effective MLP point count
+            # (split*k_lo + (1-split)*k) can undercut the window's k by
+            # far more than the hybrid march overhead costs (~0.4 ms ≈
+            # 32 samples/ray at the flagship shapes: window@k128 stepped
+            # 4.59 ms vs hybrid2k@k_eff60 3.84 ms). Prefer hybrid2k when
+            # it wins by more than that overhead margin.
+            if (
+                getattr(cfg, "hybrid_bucket_k", False)
+                and getattr(cfg, "hybrid_split", 0.0) > 0.0
+            ):
+                hyb = hybrid_candidate()
+                if hyb is not None and hyb.width_lo:
+                    k_win = compact_k_for(win_w, cfg)
+                    k_h = compact_k_for(hyb.width, cfg)
+                    k_lo = compact_k_lo_for(hyb.width_lo, k_h, cfg)
+                    if k_lo:
+                        s = cfg.hybrid_split
+                        k_eff = s * k_lo + (1.0 - s) * k_h
+                        if k_eff + 32 <= k_win:
+                            return hyb
             return CompactChoice("window", win_w)
         if mode == "hybrid":
-            wcap = hybrid_w_cap_for(span, n)
-            if ac <= budget and wcap <= _max_hybrid_w_cap(n):
-                w_lo = 0
-                width_lo = 0
-                if getattr(cfg, "hybrid_split", 0.0) > 0.0:
-                    w_lo = hybrid_w_lo_for(span_q, wcap)
-                    if w_lo >= wcap:
-                        w_lo = 0  # no narrow majority — single bucket
-                    elif getattr(cfg, "hybrid_bucket_k", False):
-                        # the lo bucket's march keeps <= min(ac_lo, w_lo)
-                        # active samples — the lossless k_lo requirement
-                        width_lo = min(ac_lo, w_lo)
-                return CompactChoice("hybrid", ac, wcap, w_lo, width_lo)
+            hyb = hybrid_candidate()
+            if hyb is not None:
+                return hyb
         if mode == "lattice" and ac <= budget:
             return CompactChoice("lattice", ac)
     return None

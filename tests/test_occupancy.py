@@ -1153,3 +1153,58 @@ def test_choose_compact_mode_reports_width_lo():
         assert 0 < c1.width_lo <= min(c1.w_lo, c1.width)
     else:
         assert c1.width_lo == 0
+
+
+def test_chooser_prefers_bucketk_hybrid_over_window(monkeypatch):
+    """With hybrid_bucket_k engaged, the chooser overrides the chain's
+    window preference when the bucketed MLP point count undercuts the
+    window's k by more than the hybrid-march overhead margin (32
+    samples/ray, measured — see MFU.md); window is kept when bucket-k is
+    off or the lo bucket degenerates."""
+    import importlib
+
+    tr = importlib.import_module("nerf_for_angiography_tpu.training.train")
+    from nerf_for_angiography_tpu.training.config import TrainConfig
+
+    g = _sphere_grid(res=32)  # stats are monkeypatched; grid is a prop
+    o, d = _rand_rays(jax.random.PRNGKey(47), 8)
+    base = dict(
+        depth_samples_per_ray=300, compact_samples=96, outside=100.0,
+        grid_resolution=32, march_mode="window", compact_engage_max=192,
+    )
+    # (ac, span, win_w, span_q, ac_lo): window fits at win_w=128 ->
+    # k_win=160 (interim ladder); hybrid ac=70 -> k=88; lo bucket
+    # ac_lo=38 -> k_lo=48; k_eff = 0.75*48 + 0.25*88 = 58 <= 160-32
+    monkeypatch.setattr(
+        tr, "_chooser_stats", lambda *a, **k: (70, 112, 128, 40, 38)
+    )
+    c_off = tr.choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75), g, o, d, 1400.0, 1600.0
+    )
+    assert c_off is not None and c_off.mode == "window"
+    c_on = tr.choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75, hybrid_bucket_k=True),
+        g, o, d, 1400.0, 1600.0,
+    )
+    assert c_on is not None and c_on.mode == "hybrid"
+    assert c_on.width_lo == 38 and c_on.w_lo > 0
+    # degenerate lo bucket (span quantile reaches w_cap -> w_lo disabled,
+    # no bucket-k advantage to weigh) -> window
+    monkeypatch.setattr(
+        tr, "_chooser_stats", lambda *a, **k: (70, 112, 128, 150, 70)
+    )
+    c_deg = tr.choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75, hybrid_bucket_k=True),
+        g, o, d, 1400.0, 1600.0,
+    )
+    assert c_deg is not None and c_deg.mode == "window"
+    # window advantage too small (win_w close to the hybrid k_eff):
+    # keep window
+    monkeypatch.setattr(
+        tr, "_chooser_stats", lambda *a, **k: (70, 112, 80, 40, 60)
+    )
+    c_close = tr.choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.75, hybrid_bucket_k=True),
+        g, o, d, 1400.0, 1600.0,
+    )
+    assert c_close is not None and c_close.mode == "window"
