@@ -108,6 +108,26 @@ def test_grads_roundtrip_structure(setup):
     np.testing.assert_array_equal(np.asarray(tree["params"]["img1"]), 0.0)
 
 
+def test_dot_head_matches_reduce(setup, monkeypatch):
+    """HEAD='dot' (w_out as an (8,F) bf16 MXU matmul, row 0 live) must
+    match the default sublane-reduce head; only the forward changes, so
+    grads stay identical up to the bf16-quantized w_out."""
+    model, params, plist, x = setup
+    from nerf_for_angiography_tpu.ops.pallas import fused_mlp as fm
+
+    want = np.asarray(fused_mlp_raw(plist, x, True))
+    g_want = jax.grad(lambda p: jnp.sum(fused_mlp_raw(p, x, True)))(plist)
+    monkeypatch.setattr(fm, "HEAD", "dot")
+    got = np.asarray(fused_mlp_raw(plist, x, True))
+    g_got = jax.grad(lambda p: jnp.sum(fused_mlp_raw(p, x, True)))(plist)
+    # w_out is bf16 in dot mode: tolerance is the bf16 ulp on the head
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+    for (gw, gb), (ww, wb) in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(ww), atol=3e-2, rtol=3e-2
+        )
+
+
 def test_nonmultiple_tile_sizes(setup):
     """P not a multiple of TILE must pad correctly."""
     model, params, plist, _ = setup
