@@ -649,7 +649,12 @@ def march_rays_window(
         in_box & (sel <= end_idx[..., None]) & any_hit[..., None]
     ).astype(jnp.float32)
     return MarchedRays(
-        t_starts=t_starts, t_ends=t_ends, positions=positions, mask=mask
+        t_starts=t_starts, t_ends=t_ends, positions=positions, mask=mask,
+        # pressure: the window keeps every sample it covers, so the only
+        # truncation class is the conservative coarse window extending
+        # past the k-window end (win_w > k)
+        active_count=jnp.sum(mask, axis=-1).astype(jnp.int32),
+        edge_active=any_hit & (end_idx > w + (k - 1)),
     )
 
 
@@ -706,12 +711,25 @@ def ray_aabb_intersect(
 
 
 class MarchedRays(NamedTuple):
-    """Fixed-width sample lattice (the nerfacc ragged-output replacement)."""
+    """Fixed-width sample lattice (the nerfacc ragged-output replacement).
+
+    ``active_count``/``edge_active`` are truncation-PRESSURE stats the
+    compacted marches attach (None on the dense path): per ray, how many
+    candidate samples were active BEFORE first-k compaction, and whether
+    the candidate window's far edge shows activity (the active region may
+    extend past it). The training loop reads their batch reductions each
+    chunk and grows k/w_cap immediately instead of waiting for the next
+    cadence re-check — bounding truncation-biased training to one chunk
+    (see training/loop.py; the 20k-iter forced-hybrid quality gates in
+    benchmarks/quality_runs_r3.jsonl measured what un-bounded drift costs).
+    """
 
     t_starts: jnp.ndarray  # (n_rays, n_samples)
     t_ends: jnp.ndarray  # (n_rays, n_samples)
     positions: jnp.ndarray  # (n_rays, n_samples, 3) segment midpoints
     mask: jnp.ndarray  # (n_rays, n_samples) float {0,1}: inside AABB & occupied
+    active_count: jnp.ndarray | None = None  # (n_rays,) int32 pre-compaction
+    edge_active: jnp.ndarray | None = None  # (n_rays,) bool window-edge hit
 
 
 def march_rays(
@@ -723,6 +741,7 @@ def march_rays(
     far: float,
     compact_k: int | None = None,
     occ_stride: int = 1,
+    fka: str = "xla",
 ) -> MarchedRays:
     """Uniform-step grid-pruned marching with fixed output shapes.
 
@@ -770,7 +789,7 @@ def march_rays(
         )
 
     k = compact_k
-    sel, mask_k = _first_k_active(mask, k)
+    sel, mask_k = _first_k_active(mask, k, fka)
 
     sel_f = sel.astype(jnp.float32)
     t_starts_k = near + sel_f * step
@@ -780,12 +799,16 @@ def march_rays(
         origins[..., None, :] + directions[..., None, :] * t_mid_k[..., None]
     )
     return MarchedRays(
-        t_starts=t_starts_k, t_ends=t_ends_k, positions=positions_k, mask=mask_k
+        t_starts=t_starts_k, t_ends=t_ends_k, positions=positions_k, mask=mask_k,
+        # candidate set = the full lattice, so active_count > k is EXACT
+        # truncation; there is no window edge to press against
+        active_count=jnp.sum(mask, axis=-1).astype(jnp.int32),
+        edge_active=jnp.zeros(mask.shape[:-1], bool),
     )
 
 
 def _first_k_active(
-    mask: jnp.ndarray, k: int
+    mask: jnp.ndarray, k: int, fka: str = "xla"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(sel, mask_k): indices + activity of the first k active samples.
 
@@ -801,7 +824,17 @@ def _first_k_active(
     Inactive slots (j >= #actives) count every position: sel = w, clipped
     to w-1 — harmless under mask_k = 0 (excluded from the render; every
     sample carries its own [t, t+step) interval).
+
+    ``fka`` selects the implementation: 'xla' (this compare+count),
+    'pallas' (ops/pallas/first_k.py — same math, VMEM-resident
+    accumulation), 'pallas_interpret' (CPU-testable interpret mode).
     """
+    if fka in ("pallas", "pallas_interpret"):
+        from .pallas.first_k import first_k_active_pallas
+
+        return first_k_active_pallas(
+            mask, k, interpret=fka == "pallas_interpret"
+        )
     w = mask.shape[-1]
     rank = jnp.cumsum(mask, axis=-1)  # (R, w) f32: 1-based order of actives
     j = jnp.arange(k, dtype=rank.dtype)
@@ -834,6 +867,7 @@ def march_rays_hybrid(
     occ_stride: int = 1,
     coarse_factor: int | None = None,
     aabb_extent: float | None = None,
+    fka: str = "xla",
 ) -> MarchedRays:
     """Two-level windowed-lattice march: coarse window + fine top-k inside.
 
@@ -863,7 +897,7 @@ def march_rays_hybrid(
     )
     return _hybrid_fine(
         grid, origins, directions, start_idx, any_hit,
-        n_samples, near, far, k, w_cap, occ_stride,
+        n_samples, near, far, k, w_cap, occ_stride, fka,
     )
 
 
@@ -879,6 +913,7 @@ def _hybrid_fine(
     k: int,
     w_cap: int,
     occ_stride: int,
+    fka: str = "xla",
 ) -> MarchedRays:
     """Level 2 of the hybrid march: exact strided fine query + first-k
     compaction over the w_cap lattice samples starting at each ray's
@@ -906,7 +941,7 @@ def _hybrid_fine(
     mask = (in_box & occupied & any_hit[..., None]).astype(jnp.float32)
 
     # first-k-active over the w_cap candidates (as march_rays)
-    sel, mask_k = _first_k_active(mask, k)  # (R, k) relative
+    sel, mask_k = _first_k_active(mask, k, fka)  # (R, k) relative
 
     abs_sel = (w[..., None] + sel).astype(jnp.float32)
     t_starts_k = near + abs_sel * step
@@ -916,7 +951,13 @@ def _hybrid_fine(
         origins[..., None, :] + directions[..., None, :] * t_mid_k[..., None]
     )
     return MarchedRays(
-        t_starts=t_starts_k, t_ends=t_ends_k, positions=positions_k, mask=mask_k
+        t_starts=t_starts_k, t_ends=t_ends_k, positions=positions_k, mask=mask_k,
+        # pressure: actives within the window (> k = exact k-truncation);
+        # an active LAST window sample whose window stops short of the
+        # lattice end means the active region may continue past w_cap
+        # (conservative — an exactly-edge-ending region also flags)
+        active_count=jnp.sum(mask, axis=-1).astype(jnp.int32),
+        edge_active=(mask[..., -1] > 0) & (w + w_cap < n_samples),
     )
 
 
@@ -934,6 +975,7 @@ def march_rays_hybrid2(
     occ_stride: int = 1,
     coarse_factor: int | None = None,
     aabb_extent: float | None = None,
+    fka: str = "xla",
 ) -> MarchedRays:
     """Two-bucket hybrid march: rays sorted by coarse-window SPAN, the
     narrow ``split`` fraction marched at w_lo, the rest at w_cap.
@@ -965,7 +1007,7 @@ def march_rays_hybrid2(
         return march_rays_hybrid(
             grid, origins, directions, n_samples, near, far, k,
             w_cap=w_cap, occ_stride=occ_stride,
-            coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+            coarse_factor=coarse_factor, aabb_extent=aabb_extent, fka=fka,
         )
 
     start_idx, end_idx, any_hit = coarse_window(
@@ -982,11 +1024,11 @@ def march_rays_hybrid2(
 
     m_lo = _hybrid_fine(
         grid, o_s[:cut], d_s[:cut], st_s[:cut], ah_s[:cut],
-        n_samples, near, far, k, w_lo, occ_stride,
+        n_samples, near, far, k, w_lo, occ_stride, fka,
     )
     m_hi = _hybrid_fine(
         grid, o_s[cut:], d_s[cut:], st_s[cut:], ah_s[cut:],
-        n_samples, near, far, k, w_cap, occ_stride,
+        n_samples, near, far, k, w_cap, occ_stride, fka,
     )
 
     inv = jnp.argsort(perm)
@@ -999,6 +1041,8 @@ def march_rays_hybrid2(
         t_ends=cat(m_lo.t_ends, m_hi.t_ends),
         positions=cat(m_lo.positions, m_hi.positions),
         mask=cat(m_lo.mask, m_hi.mask),
+        active_count=cat(m_lo.active_count, m_hi.active_count),
+        edge_active=cat(m_lo.edge_active, m_hi.edge_active),
     )
 
 
@@ -1136,6 +1180,8 @@ def compact_rays(m: MarchedRays, k: int) -> MarchedRays:
         t_ends=take(m.t_ends),
         positions=positions,
         mask=take(m.mask),
+        active_count=jnp.sum(m.mask, axis=-1).astype(jnp.int32),
+        edge_active=jnp.zeros(m.mask.shape[:-1], bool),
     )
 
 

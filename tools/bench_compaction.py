@@ -76,6 +76,16 @@ def sort16_impl(mask, k):
     return skeys % w, (skeys < w).astype(jnp.float32)
 
 
+def pallas_impl(mask, k):
+    # VMEM-resident compare+count kernel (ops/pallas/first_k.py): rank in,
+    # (sel, mask_k) out — no (R, w, k) HBM intermediate
+    from nerf_for_angiography_tpu.ops.pallas.first_k import (
+        first_k_active_pallas,
+    )
+
+    return first_k_active_pallas(mask, k)
+
+
 def topk_impl(mask, k):
     w = mask.shape[-1]
     order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
@@ -102,6 +112,7 @@ def main():
         ("cumsum", cumsum_impl), ("cumsum_bf16", cumsum_bf16_impl),
         ("cumsum_i16", cumsum_i16_impl),
         ("sort", sort_impl), ("sort16", sort16_impl), ("topk", topk_impl),
+        ("pallas", pallas_impl),
     ]:
         t = timeit_on_device(
             lambda i, fn=fn: (
