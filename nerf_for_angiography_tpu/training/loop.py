@@ -355,6 +355,20 @@ def train(
     _dense_rays = 0  # rays stepped before compaction engaged
     _compact_steady_rays = 0  # compacted rays outside first-call chunks
 
+    # truncation-pressure trigger state: compacted steppers report
+    # march_pressure scalars; any drift (actives outgrowing k, active
+    # window edges) forces an immediate re-choose + grow at the NEXT
+    # boundary instead of waiting out the re-check cadence. ``mute``
+    # suppresses re-fires until the next regular cadence check when a
+    # fired re-choose could not grow anything (capped k / persistent
+    # edge-touching ray) — a re-choose probe per chunk would cost more
+    # than it saves.
+    pressure_fire = False
+    pressure_over = pressure_over_lo = pressure_edge = 0
+    pressure_mute_until = -1
+    pressure_fired = 0  # fires that grew the stepper (TrainResult.timing)
+    pressure_muted = 0  # fires that could not grow and stood down
+
     n_iter = start_iter
     while n_iter <= cfg.n_iters:
         # run up to (and including) the next boundary iteration — every
@@ -366,12 +380,34 @@ def train(
             runner = compact_chunk_fn() if using_compact else train_chunk
             state, mstack, pred_pix, target_pix = runner(state, train_rays)
             metrics = {k: v[-1] for k, v in mstack.items()}
+            if using_compact and "march/over_k" in mstack:
+                # ONE blocking fetch (a blocking transfer costs ~1.3 ms
+                # through the tunnel; three would be ~2% of a chunk)
+                pressure_over, pressure_over_lo, pressure_edge = (
+                    int(v) for v in np.asarray(jnp.stack([
+                        jnp.max(mstack["march/over_k"]),
+                        jnp.max(mstack["march/over_k_lo"]),
+                        jnp.max(mstack["march/edge_rays"]),
+                    ]))
+                )
         else:
             runner = compact_step_fn() if using_compact else train_step
             for _ in range(count):
                 state, metrics, pred_pix, target_pix = runner(
                     state, train_rays
                 )
+            if using_compact and "march/over_k" in metrics:
+                pressure_over, pressure_over_lo, pressure_edge = (
+                    int(v) for v in np.asarray(jnp.stack([
+                        metrics["march/over_k"],
+                        metrics["march/over_k_lo"],
+                        metrics["march/edge_rays"],
+                    ]))
+                )
+        if using_compact and m > pressure_mute_until:
+            pressure_fire = (
+                pressure_over > 0 or pressure_over_lo > 0 or pressure_edge > 0
+            )
         jax.block_until_ready(pred_pix)
         rid = id(runner)
         if rid not in _seen_runners:
@@ -437,13 +473,19 @@ def train(
             if compact_k > cfg.compact_samples
             else cfg.display_every
         )
-        if want_compact and using_compact and n_iter % recheck == 0:
+        if want_compact and using_compact and (
+            n_iter % recheck == 0 or pressure_fire
+        ):
             # the grid keeps evolving (EMA decay + re-threshold can add
             # cells back): re-pick the mode and re-size k before truncation
             # can bias training; revert to the dense stepper if no
             # compacted mode fits any more
             from .train import choose_compact_mode, compact_k_for, compact_k_lo_for
 
+            _tuning_before = (
+                compact_mode, compact_k, compact_wcap, compact_wlo,
+                compact_klo, using_compact,
+            )
             t0 = time.perf_counter()
             choice = choose_compact_mode(
                 cfg, state.grid, test.origins, test.directions, near, far
@@ -484,6 +526,29 @@ def train(
                         klo2 = max(klo2, compact_klo)
                         if klo2 >= k2:
                             klo2 = 0
+                if pressure_fire and mode2 == compact_mode:
+                    # the BATCH measured its own need this chunk — floor
+                    # the probe-derived sizes with it (the probe is the
+                    # test view; the train batch can press harder)
+                    if pressure_over > 0:
+                        k2 = max(
+                            k2, compact_k_for(compact_k + pressure_over, cfg)
+                        )
+                    if pressure_over_lo > 0 and klo2:
+                        klo2 = compact_k_lo_for(
+                            compact_klo + pressure_over_lo, k2, cfg
+                        ) or klo2
+                        klo2 = max(klo2, compact_klo)
+                        if klo2 >= k2:
+                            klo2 = 0
+                    if pressure_edge > 0 and compact_wcap:
+                        wcap2 = max(
+                            wcap2,
+                            min(
+                                compact_wcap + 16,
+                                cfg.depth_samples_per_ray,
+                            ),
+                        )
                 if (mode2, k2, wcap2, wlo2, klo2) != (
                     compact_mode, compact_k, compact_wcap, compact_wlo,
                     compact_klo,
@@ -500,6 +565,21 @@ def train(
                             + (f", k_lo={compact_klo}" if compact_klo else "")
                             + ")"
                         )
+            if pressure_fire:
+                if _tuning_before == (
+                    compact_mode, compact_k, compact_wcap, compact_wlo,
+                    compact_klo, using_compact,
+                ):
+                    # the fired re-choose changed nothing (k at its cap, or
+                    # an edge-touching ray the probe disagrees with) —
+                    # re-probing every chunk would cost more than it saves;
+                    # stand down until the next regular cadence check
+                    pressure_mute_until = n_iter + recheck
+                    pressure_muted += 1
+                else:
+                    pressure_fired += 1
+                pressure_fire = False
+                pressure_over = pressure_over_lo = pressure_edge = 0
 
         if n_iter % cfg.display_every == 0:
             t0 = time.perf_counter()
@@ -607,6 +687,8 @@ def train(
                             "eval", "choose", "log", "export")
     ))
     timing["dense_rays"] = _dense_rays
+    timing["pressure_fired"] = pressure_fired
+    timing["pressure_muted"] = pressure_muted
     timing["steady_rays_per_sec"] = (
         _compact_steady_rays / timing["step_compact"]
         if timing["step_compact"] > 0
