@@ -368,6 +368,22 @@ def train(
     pressure_mute_until = -1
     pressure_fired = 0  # fires that grew the stepper (TrainResult.timing)
     pressure_muted = 0  # fires that could not grow and stood down
+    pressure_muted_streak = 0  # consecutive no-change fires (mute backoff)
+    # Persistent batch-measured floors. The chooser's probe is the held-out
+    # view — ONE viewpoint — while the train batch importance-samples all
+    # views; measured on the flagship carve runs the probe says width
+    # 39-79 where the batch presses past 96 (k grown to 160). Without a
+    # floor the next cadence re-check shrinks back to the probe's number
+    # and the batch re-truncates: k thrashed 48<->160 every check (200
+    # retunes / 144 fires in a 20k run, /tmp-queue10 logs). Floors hold
+    # grown sizes across re-checks; a floor decays one bucket per QUIET
+    # display window (no pressure observed), so converging grids still
+    # let k descend — at worst a few truncating chunks per display window
+    # pay for the probe.
+    pressure_k_floor = 0
+    pressure_klo_floor = 0
+    pressure_wcap_floor = 0
+    pressure_last_seen = -(10**9)  # last boundary with nonzero pressure
 
     n_iter = start_iter
     while n_iter <= cfg.n_iters:
@@ -404,10 +420,12 @@ def train(
                         metrics["march/edge_rays"],
                     ]))
                 )
-        if using_compact and m > pressure_mute_until:
-            pressure_fire = (
-                pressure_over > 0 or pressure_over_lo > 0 or pressure_edge > 0
-            )
+        if using_compact and (
+            pressure_over > 0 or pressure_over_lo > 0 or pressure_edge > 0
+        ):
+            pressure_last_seen = m  # holds the floors up (decay gate)
+            if m > pressure_mute_until:
+                pressure_fire = True
         jax.block_until_ready(pred_pix)
         rid = id(runner)
         if rid not in _seen_runners:
@@ -446,7 +464,12 @@ def train(
             if choice is not None:
                 compact_mode, width = choice.mode, choice.width
                 compact_wcap, compact_wlo = choice.w_cap, choice.w_lo
-                compact_k = compact_k_for(width, cfg)
+                compact_k = max(compact_k_for(width, cfg), pressure_k_floor)
+                if compact_wcap and pressure_wcap_floor:
+                    compact_wcap = max(
+                        compact_wcap,
+                        min(pressure_wcap_floor, cfg.depth_samples_per_ray),
+                    )
                 compact_klo = (
                     compact_k_lo_for(choice.width_lo, compact_k, cfg)
                     if compact_wlo
@@ -529,11 +552,16 @@ def train(
                 if pressure_fire and mode2 == compact_mode:
                     # the BATCH measured its own need this chunk — floor
                     # the probe-derived sizes with it (the probe is the
-                    # test view; the train batch can press harder)
+                    # test view; the train batch can press harder) and
+                    # REMEMBER the floors (see their declaration: without
+                    # persistence the next probe-blind re-check shrinks
+                    # right back and the batch re-truncates — measured
+                    # k thrash 48<->160 at every check)
                     if pressure_over > 0:
                         k2 = max(
                             k2, compact_k_for(compact_k + pressure_over, cfg)
                         )
+                        pressure_k_floor = max(pressure_k_floor, k2)
                     if pressure_over_lo > 0 and klo2:
                         klo2 = compact_k_lo_for(
                             compact_klo + pressure_over_lo, k2, cfg
@@ -541,6 +569,8 @@ def train(
                         klo2 = max(klo2, compact_klo)
                         if klo2 >= k2:
                             klo2 = 0
+                        if klo2:
+                            pressure_klo_floor = max(pressure_klo_floor, klo2)
                     if pressure_edge > 0 and compact_wcap:
                         wcap2 = max(
                             wcap2,
@@ -549,6 +579,21 @@ def train(
                                 cfg.depth_samples_per_ray,
                             ),
                         )
+                        pressure_wcap_floor = max(pressure_wcap_floor, wcap2)
+                # persistent floors apply to EVERY retune, fired or not
+                # (each floor was itself a compact_k_for/+16-bucket output,
+                # so the ladder caps are already respected)
+                if pressure_k_floor:
+                    k2 = max(k2, pressure_k_floor)
+                if pressure_wcap_floor and wcap2:
+                    wcap2 = max(
+                        wcap2,
+                        min(pressure_wcap_floor, cfg.depth_samples_per_ray),
+                    )
+                if pressure_klo_floor and klo2:
+                    klo2 = max(klo2, pressure_klo_floor)
+                    if klo2 >= k2:
+                        klo2 = 0
                 if (mode2, k2, wcap2, wlo2, klo2) != (
                     compact_mode, compact_k, compact_wcap, compact_wlo,
                     compact_klo,
@@ -573,15 +618,33 @@ def train(
                     # the fired re-choose changed nothing (k at its cap, or
                     # an edge-touching ray the probe disagrees with) —
                     # re-probing every chunk would cost more than it saves;
-                    # stand down until the next regular cadence check
-                    pressure_mute_until = n_iter + recheck
+                    # stand down, with exponential backoff for persistent
+                    # no-change signals (window mode's conservative coarse
+                    # end can flag edge pressure forever; without backoff
+                    # that is one wasted probe per recheck for the whole
+                    # run), capped at display cadence so real drift is
+                    # never ignored longer than an eval window
                     pressure_muted += 1
+                    pressure_muted_streak += 1
+                    pressure_mute_until = n_iter + min(
+                        cfg.display_every,
+                        recheck * (2 ** min(pressure_muted_streak, 4)),
+                    )
                 else:
                     pressure_fired += 1
+                    pressure_muted_streak = 0
                 pressure_fire = False
                 pressure_over = pressure_over_lo = pressure_edge = 0
 
         if n_iter % cfg.display_every == 0:
+            # a QUIET display window (no pressure observed anywhere in it)
+            # decays each floor one bucket: a converged/pruning grid must
+            # be allowed to shrink k back down, and a too-eager decay only
+            # costs a few truncating chunks before the floor re-grows
+            if using_compact and n_iter - pressure_last_seen >= cfg.display_every:
+                pressure_k_floor = max(0, pressure_k_floor - 32)
+                pressure_wcap_floor = max(0, pressure_wcap_floor - 16)
+                pressure_klo_floor = max(0, pressure_klo_floor - 32)
             t0 = time.perf_counter()
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
