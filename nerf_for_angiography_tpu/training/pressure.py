@@ -1,0 +1,212 @@
+"""Truncation-pressure tuning for the compacted production stepper.
+
+The quality-critical retune policy of ``training/loop.py::train``, as a
+standalone state machine so its invariants are unit-testable
+(tests/test_pressure.py) instead of living only inside the 20k-iteration
+TPU gates.
+
+Why it exists (measured on the flagship carve runs, queue9/10 logs in
+``benchmarks/quality_runs_r3.jsonl``):
+
+* ``choose_compact_mode``'s probe is the single held-out view, while the
+  train batch importance-samples every view — the probe reports lossless
+  widths of 39-79 where the batch presses k to 160. Sizing only from the
+  probe truncated the batch between re-checks and cost −2.2…−5.9 dB
+  held-out on forced-hybrid 20k runs.
+* Growing on batch-measured pressure but NOT remembering it brought k
+  right back down at the next probe-blind re-check: k thrashed 48↔160 at
+  every check (200 retunes / 144 fires in one 20k run). Hence the
+  persistent floors.
+* Window mode's conservative coarse end can flag edge pressure forever
+  with nothing left to grow — hence the exponential mute backoff, capped
+  at display cadence so real drift is never ignored longer than one eval
+  window.
+
+The machine's four invariants:
+
+1. any nonzero pressure at an observed boundary forces a re-choose at
+   that boundary (unless muted), not at the next cadence check;
+2. batch-measured growth persists as floors across probe-driven re-checks;
+3. floors decay one bucket per QUIET display window, so a converged or
+   pruning grid can still shrink k back down;
+4. fires that change nothing back off exponentially (cap: display
+   cadence) instead of paying one probe march per chunk forever.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .train import compact_k_for, compact_k_lo_for
+
+__all__ = ["Tuning", "PressureTuner"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Tuning:
+    """One compacted-stepper configuration — the key of the compiled
+    stepper cache in ``training/loop.py`` (a recompile through the tunnel
+    costs ~4-12 s, so revisiting a Tuning must be free)."""
+
+    mode: str | None = None
+    k: int = 0
+    w_cap: int = 0  # hybrid candidate window (0 = mode has none)
+    w_lo: int = 0  # two-bucket lo window (0 = single bucket)
+    k_lo: int = 0  # two-bucket lo compaction width (0 = single k)
+
+
+@dataclasses.dataclass
+class PressureTuner:
+    """Mutable pressure/floor/mute state threaded through the train loop.
+
+    The loop calls, in boundary order:
+
+    * ``observe(m, over, over_k_lo, edge)`` after each compacted chunk with
+      the batch's own ``march_pressure`` scalars;
+    * ``engage(choice, cfg)`` when the compacted stepper first switches on;
+    * ``retune(tuning, choice, cfg)`` at cadence checks and on fires;
+    * ``resolve(m, changed, recheck)`` after a FIRED re-choose, with
+      whether it changed anything;
+    * ``decay_if_quiet(m)`` at display boundaries while compacted.
+    """
+
+    display_every: int
+    # batch-measured need from the last observed chunk (march_pressure)
+    over: int = 0
+    over_lo: int = 0
+    edge: int = 0
+    fire: bool = False
+    mute_until: int = -1
+    muted_streak: int = 0  # consecutive no-change fires (mute backoff)
+    fired: int = 0  # fires that grew the stepper (TrainResult.timing)
+    muted: int = 0  # fires that could not grow and stood down
+    # persistent batch-measured floors (invariant 2) + their decay gate
+    k_floor: int = 0
+    klo_floor: int = 0
+    wcap_floor: int = 0
+    last_seen: int = -(10**9)  # last boundary with nonzero pressure
+
+    # -- boundary observation ------------------------------------------------
+    def observe(self, m: int, over: int, over_lo: int, edge: int) -> None:
+        """Record the batch's pressure scalars for boundary ``m`` and arm a
+        fire unless muted. Zeros overwrite stale values — the scalars are
+        only consumed by a fire, never across boundaries."""
+        self.over, self.over_lo, self.edge = over, over_lo, edge
+        if over > 0 or over_lo > 0 or edge > 0:
+            self.last_seen = m  # holds the floors up (decay gate)
+            if m > self.mute_until:
+                self.fire = True
+
+    # -- sizing --------------------------------------------------------------
+    def engage(self, choice, cfg) -> Tuning:
+        """Initial compacted-stepper sizing from a ``CompactChoice``,
+        floored by any pressure history (floors survive a revert-to-dense
+        and re-engage)."""
+        k = max(compact_k_for(choice.width, cfg), self.k_floor)
+        w_cap = choice.w_cap
+        if w_cap and self.wcap_floor:
+            w_cap = max(w_cap, min(self.wcap_floor, cfg.depth_samples_per_ray))
+        k_lo = (
+            compact_k_lo_for(choice.width_lo, k, cfg) if choice.w_lo else 0
+        )
+        return Tuning(choice.mode, k, w_cap, choice.w_lo, k_lo)
+
+    def retune(self, t: Tuning, choice, cfg) -> Tuning:
+        """Re-size an engaged stepper against a fresh probe ``choice``.
+
+        Same-mode proposals GROW freely (losslessness forces it) but SHRINK
+        only past a 32-wide hysteresis band — small shrinks would thrash
+        compiles for marginal MLP time, while ladder descents (interim k →
+        budget k) and real grid convergence pay for themselves. A fire
+        additionally grows by the batch's own measured need and REMEMBERS
+        it as a floor; floors apply to EVERY retune, fired or not."""
+        mode2, width2 = choice.mode, choice.width
+        wcap2, wlo2 = choice.w_cap, choice.w_lo
+        k2 = compact_k_for(width2, cfg)
+        klo2 = compact_k_lo_for(choice.width_lo, k2, cfg) if wlo2 else 0
+        if mode2 == t.mode:
+            if k2 > t.k - 32:
+                k2 = max(k2, t.k)
+            if wcap2 > t.w_cap - 32:
+                wcap2 = max(wcap2, t.w_cap)
+            if wlo2 and t.w_lo and wlo2 > t.w_lo - 32:
+                wlo2 = max(wlo2, t.w_lo)
+            if klo2 and t.k_lo and klo2 > t.k_lo - 32:
+                # growing k_lo back to (or past) k means the split buys
+                # nothing — fall back to single-k there
+                klo2 = max(klo2, t.k_lo)
+                if klo2 >= k2:
+                    klo2 = 0
+        if self.fire and mode2 == t.mode:
+            # the BATCH measured its own need this chunk — floor the
+            # probe-derived sizes with it (the probe is the test view; the
+            # train batch can press harder) and REMEMBER the floors
+            if self.over > 0:
+                k2 = max(k2, compact_k_for(t.k + self.over, cfg))
+                self.k_floor = max(self.k_floor, k2)
+            if self.over_lo > 0 and klo2:
+                # the lo bucket's measured need; 0 from the sizer means the
+                # need reaches k — the split buys nothing, COLLAPSE to
+                # single-k (k_lo = 0 marches every ray at k) rather than
+                # keep the old truncating k_lo. (The first wiring of this
+                # branch fell back to the stale k_lo here — `or klo2` —
+                # leaving the lo bucket truncating exactly the drift this
+                # machinery exists to stop; caught by
+                # tests/test_pressure_tuner.py.)
+                klo2 = compact_k_lo_for(t.k_lo + self.over_lo, k2, cfg)
+                klo2 = max(klo2, t.k_lo) if klo2 else 0
+                if klo2 >= k2:
+                    klo2 = 0
+                if klo2:
+                    self.klo_floor = max(self.klo_floor, klo2)
+            if self.edge > 0 and t.w_cap:
+                wcap2 = max(
+                    wcap2, min(t.w_cap + 16, cfg.depth_samples_per_ray)
+                )
+                self.wcap_floor = max(self.wcap_floor, wcap2)
+        # persistent floors apply to EVERY retune, fired or not (each floor
+        # was itself a compact_k_for/+16-bucket output, so the ladder caps
+        # are already respected)
+        if self.k_floor:
+            k2 = max(k2, self.k_floor)
+        if self.wcap_floor and wcap2:
+            wcap2 = max(wcap2, min(self.wcap_floor, cfg.depth_samples_per_ray))
+        if self.klo_floor and klo2:
+            klo2 = max(klo2, self.klo_floor)
+            if klo2 >= k2:
+                klo2 = 0
+        return Tuning(mode2, k2, wcap2, wlo2, klo2)
+
+    # -- fire bookkeeping ------------------------------------------------------
+    def resolve(self, m: int, changed: bool, recheck: int) -> None:
+        """Close out a fired re-choose at boundary ``m``. ``changed`` is
+        whether the re-choose altered the running stepper (a revert to the
+        dense stepper counts as changed). No-change fires stand down with
+        exponential backoff — re-probing every chunk would cost more than
+        it saves — capped at display cadence (invariant 4)."""
+        if not self.fire:
+            return
+        if not changed:
+            self.muted += 1
+            self.muted_streak += 1
+            self.mute_until = m + min(
+                self.display_every,
+                recheck * (2 ** min(self.muted_streak, 4)),
+            )
+        else:
+            self.fired += 1
+            self.muted_streak = 0
+        self.fire = False
+        self.over = self.over_lo = self.edge = 0
+
+    # -- floor decay -----------------------------------------------------------
+    def decay_if_quiet(self, m: int) -> None:
+        """A QUIET display window (no pressure observed anywhere in it)
+        decays each floor one bucket: a converged/pruning grid must be
+        allowed to shrink k back down, and a too-eager decay only costs a
+        few truncating chunks before the floor re-grows (invariant 3).
+        Call at display boundaries while the compacted stepper runs."""
+        if m - self.last_seen >= self.display_every:
+            self.k_floor = max(0, self.k_floor - 32)
+            self.wcap_floor = max(0, self.wcap_floor - 16)
+            self.klo_floor = max(0, self.klo_floor - 32)

@@ -1,0 +1,202 @@
+"""The truncation-pressure state machine (training/pressure.py).
+
+Scripted boundary sequences pin the four invariants the 20k-iteration TPU
+gates discovered the hard way (benchmarks/quality_runs_r3.jsonl):
+probe-blind shrink thrash (k 48<->160 at every re-check), floor decay on
+quiet windows, and mute backoff for no-change fires. CPU-only, no jax.
+"""
+
+from nerf_for_angiography_tpu.training import TrainConfig
+from nerf_for_angiography_tpu.training.pressure import PressureTuner, Tuning
+from nerf_for_angiography_tpu.training.train import (
+    CompactChoice,
+    compact_k_for,
+    compact_k_lo_for,
+)
+
+CFG = TrainConfig(
+    compact_samples=96,
+    compact_engage_max=192,
+    depth_samples_per_ray=300,
+    display_every=500,
+)
+
+# the flagship drift scenario: the held-out probe measures width 40 while
+# the train batch presses 112 samples past k (queue10 logs)
+PROBE = CompactChoice(mode="hybrid", width=40, w_cap=160)
+
+
+def test_sizers_anchor_values():
+    # the constants the scenarios below rely on
+    assert compact_k_for(40, CFG) == 48
+    assert compact_k_for(48 + 112, CFG) == 192  # interim 32-ladder, capped
+    assert compact_k_lo_for(24, 88, CFG) == 32
+
+
+def test_engage_sizes_from_probe():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = tuner.engage(PROBE, CFG)
+    assert t == Tuning("hybrid", 48, 160, 0, 0)
+
+
+def test_fire_grows_by_batch_need_and_floor_stops_the_thrash():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = tuner.engage(PROBE, CFG)
+
+    tuner.observe(50, over=112, over_lo=0, edge=0)
+    assert tuner.fire
+    t2 = tuner.retune(t, PROBE, CFG)
+    assert t2.k == 192  # grown to the batch's measured need
+    tuner.resolve(50, changed=(t2 != t), recheck=100)
+    assert tuner.fired == 1 and tuner.muted == 0 and not tuner.fire
+
+    # the next cadence re-check still probes width 40 (the r2 behavior
+    # shrank right back to 48 here and the batch re-truncated)
+    t3 = tuner.retune(t2, PROBE, CFG)
+    assert t3.k == 192  # floor holds across probe-blind re-checks
+
+
+def test_floor_decays_one_bucket_per_quiet_window():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = tuner.engage(PROBE, CFG)
+    tuner.observe(50, over=112, over_lo=0, edge=0)
+    t = tuner.retune(t, PROBE, CFG)
+    tuner.resolve(50, changed=True, recheck=100)
+    assert tuner.k_floor == 192
+
+    # quiet display windows: floor descends 32/window, k follows (the
+    # shrink hysteresis band does not hold 192 because the probe's 48 is
+    # far below k - 32)
+    ks = []
+    for w in range(1, 7):
+        tuner.decay_if_quiet(50 + 500 * w)
+        t = tuner.retune(t, PROBE, CFG)
+        ks.append(t.k)
+    # descends one bucket per window until the 32-wide shrink-hysteresis
+    # band around the probe's 48 catches it at 64 (by design: a 64 -> 48
+    # shrink would pay a recompile for marginal MLP time)
+    assert ks == [160, 128, 96, 64, 64, 64]
+    assert tuner.k_floor == 0
+
+
+def test_pressure_inside_window_blocks_decay():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor = 160
+    tuner.observe(400, over=3, over_lo=0, edge=0)  # pressure seen at 400
+    tuner.decay_if_quiet(500)  # 500 - 400 < display_every
+    assert tuner.k_floor == 160
+    tuner.decay_if_quiet(1000)  # a full quiet window since
+    assert tuner.k_floor == 128
+
+
+def test_no_change_fire_backs_off_exponentially_with_cap():
+    # window mode's conservative coarse end can flag edge pressure forever
+    # with nothing to grow (w_cap = 0): fires must mute with backoff
+    tuner = PressureTuner(display_every=CFG.display_every)
+    probe = CompactChoice(mode="window", width=110)
+    t = tuner.engage(probe, CFG)
+    assert t == Tuning("window", 128, 0, 0, 0)
+
+    tuner.observe(100, over=0, over_lo=0, edge=5)
+    t2 = tuner.retune(t, probe, CFG)
+    assert t2 == t  # nothing to grow
+    tuner.resolve(100, changed=False, recheck=100)
+    assert (tuner.muted, tuner.muted_streak) == (1, 1)
+    assert tuner.mute_until == 100 + 200
+
+    # pressure during the mute updates the decay gate but does not fire
+    tuner.observe(200, over=0, over_lo=0, edge=5)
+    assert not tuner.fire and tuner.last_seen == 200
+
+    tuner.observe(350, over=0, over_lo=0, edge=5)
+    assert tuner.fire
+    tuner.resolve(350, changed=False, recheck=100)
+    assert tuner.mute_until == 350 + 400
+    tuner.observe(800, over=0, over_lo=0, edge=5)
+    tuner.resolve(800, changed=False, recheck=100)
+    # streak 3 -> 100 * 8 = 800, capped at display_every = 500
+    assert tuner.mute_until == 800 + 500
+
+    # a fire that changes something resets the streak
+    tuner.observe(1400, over=40, over_lo=0, edge=0)
+    t3 = tuner.retune(t2, probe, CFG)
+    assert t3.k == compact_k_for(128 + 40, CFG) == 192
+    tuner.resolve(1400, changed=True, recheck=100)
+    assert tuner.muted_streak == 0 and tuner.fired == 1
+
+
+def test_engage_after_revert_keeps_floors():
+    # revert-to-dense then re-engage: the batch's measured need survives
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor, tuner.wcap_floor = 160, 176
+    t = tuner.engage(PROBE, CFG)
+    assert (t.k, t.w_cap) == (160, 176)
+
+
+def test_shrink_hysteresis_without_floors():
+    # small probe shrinks inside the 32 band hold the current size (no
+    # recompile thrash); big shrinks pass through
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = Tuning("hybrid", 96, 160, 0, 0)
+    near = CompactChoice(mode="hybrid", width=70, w_cap=144)  # k2=88, in band
+    t2 = tuner.retune(t, near, CFG)
+    assert (t2.k, t2.w_cap) == (96, 160)
+    far = CompactChoice(mode="hybrid", width=40, w_cap=96)  # k2=48, past band
+    t3 = tuner.retune(t, far, CFG)
+    assert (t3.k, t3.w_cap) == (48, 96)
+
+
+def test_mode_switch_skips_hysteresis_and_pressure_growth():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = Tuning("hybrid", 96, 160, 0, 0)
+    tuner.observe(50, over=50, over_lo=0, edge=0)
+    probe = CompactChoice(mode="window", width=40)
+    t2 = tuner.retune(t, probe, CFG)
+    # different mode: sized purely from the probe; the batch's pressure
+    # numbers were measured against the OLD mode's k and do not transfer
+    assert t2 == Tuning("window", 48, 0, 0, 0)
+    assert tuner.k_floor == 0
+
+
+def test_lo_bucket_pressure_grows_and_floors_k_lo():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = Tuning("hybrid", 96, 160, 48, 32)
+    probe = CompactChoice(
+        mode="hybrid", width=70, w_cap=160, w_lo=48, width_lo=24
+    )
+    tuner.observe(50, over=0, over_lo=20, edge=0)
+    t2 = tuner.retune(t, probe, CFG)
+    # k_lo grows to fit the lo bucket's measured need (32 + 20 -> 64)
+    assert t2.k_lo == compact_k_lo_for(32 + 20, t2.k, CFG) == 64
+    assert tuner.klo_floor == 64
+    tuner.resolve(50, changed=True, recheck=100)
+
+    # the probe-blind re-check (width_lo 24 -> k_lo 32) cannot shrink past
+    # the floor
+    t3 = tuner.retune(t2, probe, CFG)
+    assert t3.k_lo == 64
+
+
+def test_k_lo_collapses_to_single_k_when_it_reaches_k():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = Tuning("hybrid", 48, 160, 48, 32)
+    probe = CompactChoice(
+        mode="hybrid", width=40, w_cap=160, w_lo=48, width_lo=24
+    )
+    tuner.observe(50, over=0, over_lo=40, edge=0)
+    t2 = tuner.retune(t, probe, CFG)
+    # k_lo would reach k -> the split buys nothing -> single-k fallback
+    assert t2.k_lo == 0
+
+
+def test_edge_pressure_grows_w_cap_by_one_bucket():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = Tuning("hybrid", 96, 160, 0, 0)
+    probe = CompactChoice(mode="hybrid", width=70, w_cap=160)
+    tuner.observe(50, over=0, over_lo=0, edge=3)
+    t2 = tuner.retune(t, probe, CFG)
+    assert t2.w_cap == 176
+    assert tuner.wcap_floor == 176
+    tuner.resolve(50, changed=True, recheck=100)
+    t3 = tuner.retune(t2, probe, CFG)
+    assert t3.w_cap == 176  # floor holds across re-checks
