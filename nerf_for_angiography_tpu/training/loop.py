@@ -29,6 +29,7 @@ from .checkpoint import (
 )
 from .config import TrainConfig, categories_for
 from .logging import ExperimentLogger
+from .pressure import PressureTuner, Tuning
 from .train import (
     TestView,
     create_train_state,
@@ -246,28 +247,23 @@ def train(
     # single-step variant compiles only if a partial chunk actually needs
     # it (with chunking it normally never does).
     using_compact = False
-    compact_mode: str | None = None
-    compact_k = 0
-    compact_wcap = 0  # hybrid candidate window (0 = mode has none)
-    compact_wlo = 0  # two-bucket lo window (0 = single bucket)
-    compact_klo = 0  # two-bucket lo compaction width (0 = single k)
+    tuning = Tuning()  # the engaged compacted-stepper sizing (cache key)
     want_compact = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
     _stepper_cache: dict = {}
 
     def _compact_entry():
-        key = (compact_mode, compact_k, compact_wcap, compact_wlo, compact_klo)
-        entry = _stepper_cache.get(key)
+        entry = _stepper_cache.get(tuning)
         if entry is None:
             entry = {
                 "cfg": dataclasses.replace(
-                    cfg, march_mode=compact_mode, compact_samples=compact_k,
-                    hybrid_w_cap=compact_wcap, hybrid_w_lo=compact_wlo,
-                    hybrid_k_lo=compact_klo,
+                    cfg, march_mode=tuning.mode, compact_samples=tuning.k,
+                    hybrid_w_cap=tuning.w_cap, hybrid_w_lo=tuning.w_lo,
+                    hybrid_k_lo=tuning.k_lo,
                 ),
                 "step": None,
                 "chunk": None,
             }
-            _stepper_cache[key] = entry
+            _stepper_cache[tuning] = entry
         return entry
 
     def compact_step_fn():
@@ -355,35 +351,17 @@ def train(
     _dense_rays = 0  # rays stepped before compaction engaged
     _compact_steady_rays = 0  # compacted rays outside first-call chunks
 
-    # truncation-pressure trigger state: compacted steppers report
-    # march_pressure scalars; any drift (actives outgrowing k, active
-    # window edges) forces an immediate re-choose + grow at the NEXT
-    # boundary instead of waiting out the re-check cadence. ``mute``
-    # suppresses re-fires until the next regular cadence check when a
-    # fired re-choose could not grow anything (capped k / persistent
-    # edge-touching ray) — a re-choose probe per chunk would cost more
-    # than it saves.
-    pressure_fire = False
-    pressure_over = pressure_over_lo = pressure_edge = 0
-    pressure_mute_until = -1
-    pressure_fired = 0  # fires that grew the stepper (TrainResult.timing)
-    pressure_muted = 0  # fires that could not grow and stood down
-    pressure_muted_streak = 0  # consecutive no-change fires (mute backoff)
-    # Persistent batch-measured floors. The chooser's probe is the held-out
-    # view — ONE viewpoint — while the train batch importance-samples all
-    # views; measured on the flagship carve runs the probe says width
-    # 39-79 where the batch presses past 96 (k grown to 160). Without a
-    # floor the next cadence re-check shrinks back to the probe's number
-    # and the batch re-truncates: k thrashed 48<->160 every check (200
-    # retunes / 144 fires in a 20k run, /tmp-queue10 logs). Floors hold
-    # grown sizes across re-checks; a floor decays one bucket per QUIET
-    # display window (no pressure observed), so converging grids still
-    # let k descend — at worst a few truncating chunks per display window
-    # pay for the probe.
-    pressure_k_floor = 0
-    pressure_klo_floor = 0
-    pressure_wcap_floor = 0
-    pressure_last_seen = -(10**9)  # last boundary with nonzero pressure
+    # truncation-pressure tuner (training/pressure.py): compacted steppers
+    # report march_pressure scalars; any drift (actives outgrowing k,
+    # active window edges) forces an immediate re-choose + grow at the
+    # NEXT boundary instead of waiting out the re-check cadence, and
+    # batch-measured growth persists as floors across probe-blind
+    # re-checks. Semantics + the measured drift/thrash numbers that forced
+    # each rule live in the module docstring; invariants are pinned by
+    # tests/test_pressure_tuner.py. Measured effect (queue11,
+    # benchmarks/quality_runs_r3.jsonl): +4.6 dB held-out on the window
+    # control, forced-hybrid recovered from −2.2…−5.9 dB to parity.
+    tuner = PressureTuner(display_every=cfg.display_every)
 
     n_iter = start_iter
     while n_iter <= cfg.n_iters:
@@ -399,13 +377,13 @@ def train(
             if using_compact and "march/over_k" in mstack:
                 # ONE blocking fetch (a blocking transfer costs ~1.3 ms
                 # through the tunnel; three would be ~2% of a chunk)
-                pressure_over, pressure_over_lo, pressure_edge = (
+                tuner.observe(m, *(
                     int(v) for v in np.asarray(jnp.stack([
                         jnp.max(mstack["march/over_k"]),
                         jnp.max(mstack["march/over_k_lo"]),
                         jnp.max(mstack["march/edge_rays"]),
                     ]))
-                )
+                ))
         else:
             runner = compact_step_fn() if using_compact else train_step
             for _ in range(count):
@@ -413,19 +391,13 @@ def train(
                     state, train_rays
                 )
             if using_compact and "march/over_k" in metrics:
-                pressure_over, pressure_over_lo, pressure_edge = (
+                tuner.observe(m, *(
                     int(v) for v in np.asarray(jnp.stack([
                         metrics["march/over_k"],
                         metrics["march/over_k_lo"],
                         metrics["march/edge_rays"],
                     ]))
-                )
-        if using_compact and (
-            pressure_over > 0 or pressure_over_lo > 0 or pressure_edge > 0
-        ):
-            pressure_last_seen = m  # holds the floors up (decay gate)
-            if m > pressure_mute_until:
-                pressure_fire = True
+                ))
         jax.block_until_ready(pred_pix)
         rid = id(runner)
         if rid not in _seen_runners:
@@ -454,7 +426,7 @@ def train(
         # grid has pruned — instead of at display cadence — trims minutes
         # off a 20k-iter run. One jitted probe march per check (~ms).
         if want_compact and not using_compact and n_iter % check_every == 0:
-            from .train import choose_compact_mode, compact_k_for, compact_k_lo_for
+            from .train import choose_compact_mode
 
             t0 = time.perf_counter()
             choice = choose_compact_mode(
@@ -462,27 +434,15 @@ def train(
             )
             timing["choose"] += time.perf_counter() - t0
             if choice is not None:
-                compact_mode, width = choice.mode, choice.width
-                compact_wcap, compact_wlo = choice.w_cap, choice.w_lo
-                compact_k = max(compact_k_for(width, cfg), pressure_k_floor)
-                if compact_wcap and pressure_wcap_floor:
-                    compact_wcap = max(
-                        compact_wcap,
-                        min(pressure_wcap_floor, cfg.depth_samples_per_ray),
-                    )
-                compact_klo = (
-                    compact_k_lo_for(choice.width_lo, compact_k, cfg)
-                    if compact_wlo
-                    else 0
-                )
+                tuning = tuner.engage(choice, cfg)
                 using_compact = True
                 if verbose:
                     print(
                         f"switching to compacted stepper at iter {n_iter} "
-                        f"(march_mode={compact_mode}, needed width/ray "
-                        f"{width} -> k={compact_k}, w_cap={compact_wcap}"
-                        + (f", w_lo={compact_wlo}" if compact_wlo else "")
-                        + (f", k_lo={compact_klo}" if compact_klo else "")
+                        f"(march_mode={tuning.mode}, needed width/ray "
+                        f"{choice.width} -> k={tuning.k}, w_cap={tuning.w_cap}"
+                        + (f", w_lo={tuning.w_lo}" if tuning.w_lo else "")
+                        + (f", k_lo={tuning.k_lo}" if tuning.k_lo else "")
                         + ")"
                     )
 
@@ -493,22 +453,20 @@ def train(
         # shrink there is a direct throughput win.
         recheck = (
             check_every
-            if compact_k > cfg.compact_samples
+            if tuning.k > cfg.compact_samples
             else cfg.display_every
         )
         if want_compact and using_compact and (
-            n_iter % recheck == 0 or pressure_fire
+            n_iter % recheck == 0 or tuner.fire
         ):
             # the grid keeps evolving (EMA decay + re-threshold can add
             # cells back): re-pick the mode and re-size k before truncation
             # can bias training; revert to the dense stepper if no
-            # compacted mode fits any more
-            from .train import choose_compact_mode, compact_k_for, compact_k_lo_for
+            # compacted mode fits any more. Sizing policy (grow/shrink
+            # hysteresis, pressure growth, persistent floors): the tuner.
+            from .train import choose_compact_mode
 
-            _tuning_before = (
-                compact_mode, compact_k, compact_wcap, compact_wlo,
-                compact_klo, using_compact,
-            )
+            _before = (tuning, using_compact)
             t0 = time.perf_counter()
             choice = choose_compact_mode(
                 cfg, state.grid, test.origins, test.directions, near, far
@@ -522,129 +480,26 @@ def train(
                         "(no compacted mode fits the evolved grid)"
                     )
             else:
-                mode2, width2, wcap2, wlo2 = (
-                    choice.mode, choice.width, choice.w_cap, choice.w_lo
-                )
-                k2 = compact_k_for(width2, cfg)
-                klo2 = (
-                    compact_k_lo_for(choice.width_lo, k2, cfg) if wlo2 else 0
-                )
-                if mode2 == compact_mode:
-                    # same mode: GROW freely (losslessness forces it), but
-                    # SHRINK only past a 32-wide hysteresis band — small
-                    # shrinks would thrash compiles for marginal MLP time,
-                    # while ladder descents (interim k -> budget k) and
-                    # real grid convergence pay for themselves. Every
-                    # (mode, k, w_cap, w_lo, k_lo) program is cached
-                    # in-process AND in the persistent XLA cache across runs.
-                    if k2 > compact_k - 32:
-                        k2 = max(k2, compact_k)
-                    if wcap2 > compact_wcap - 32:
-                        wcap2 = max(wcap2, compact_wcap)
-                    if wlo2 and compact_wlo and wlo2 > compact_wlo - 32:
-                        wlo2 = max(wlo2, compact_wlo)
-                    if klo2 and compact_klo and klo2 > compact_klo - 32:
-                        # growing k_lo back to (or past) k means the split
-                        # buys nothing — fall back to single-k there
-                        klo2 = max(klo2, compact_klo)
-                        if klo2 >= k2:
-                            klo2 = 0
-                if pressure_fire and mode2 == compact_mode:
-                    # the BATCH measured its own need this chunk — floor
-                    # the probe-derived sizes with it (the probe is the
-                    # test view; the train batch can press harder) and
-                    # REMEMBER the floors (see their declaration: without
-                    # persistence the next probe-blind re-check shrinks
-                    # right back and the batch re-truncates — measured
-                    # k thrash 48<->160 at every check)
-                    if pressure_over > 0:
-                        k2 = max(
-                            k2, compact_k_for(compact_k + pressure_over, cfg)
-                        )
-                        pressure_k_floor = max(pressure_k_floor, k2)
-                    if pressure_over_lo > 0 and klo2:
-                        klo2 = compact_k_lo_for(
-                            compact_klo + pressure_over_lo, k2, cfg
-                        ) or klo2
-                        klo2 = max(klo2, compact_klo)
-                        if klo2 >= k2:
-                            klo2 = 0
-                        if klo2:
-                            pressure_klo_floor = max(pressure_klo_floor, klo2)
-                    if pressure_edge > 0 and compact_wcap:
-                        wcap2 = max(
-                            wcap2,
-                            min(
-                                compact_wcap + 16,
-                                cfg.depth_samples_per_ray,
-                            ),
-                        )
-                        pressure_wcap_floor = max(pressure_wcap_floor, wcap2)
-                # persistent floors apply to EVERY retune, fired or not
-                # (each floor was itself a compact_k_for/+16-bucket output,
-                # so the ladder caps are already respected)
-                if pressure_k_floor:
-                    k2 = max(k2, pressure_k_floor)
-                if pressure_wcap_floor and wcap2:
-                    wcap2 = max(
-                        wcap2,
-                        min(pressure_wcap_floor, cfg.depth_samples_per_ray),
-                    )
-                if pressure_klo_floor and klo2:
-                    klo2 = max(klo2, pressure_klo_floor)
-                    if klo2 >= k2:
-                        klo2 = 0
-                if (mode2, k2, wcap2, wlo2, klo2) != (
-                    compact_mode, compact_k, compact_wcap, compact_wlo,
-                    compact_klo,
-                ):
-                    compact_mode, compact_k = mode2, k2
-                    compact_wcap, compact_wlo = wcap2, wlo2
-                    compact_klo = klo2
+                tuning2 = tuner.retune(tuning, choice, cfg)
+                if tuning2 != tuning:
+                    tuning = tuning2
                     if verbose:
                         print(
                             f"retuning compacted stepper at iter {n_iter} "
-                            f"(march_mode={compact_mode}, width {width2} "
-                            f"-> k={compact_k}, w_cap={compact_wcap}"
-                            + (f", w_lo={compact_wlo}" if compact_wlo else "")
-                            + (f", k_lo={compact_klo}" if compact_klo else "")
+                            f"(march_mode={tuning.mode}, width {choice.width} "
+                            f"-> k={tuning.k}, w_cap={tuning.w_cap}"
+                            + (f", w_lo={tuning.w_lo}" if tuning.w_lo else "")
+                            + (f", k_lo={tuning.k_lo}" if tuning.k_lo else "")
                             + ")"
                         )
-            if pressure_fire:
-                if _tuning_before == (
-                    compact_mode, compact_k, compact_wcap, compact_wlo,
-                    compact_klo, using_compact,
-                ):
-                    # the fired re-choose changed nothing (k at its cap, or
-                    # an edge-touching ray the probe disagrees with) —
-                    # re-probing every chunk would cost more than it saves;
-                    # stand down, with exponential backoff for persistent
-                    # no-change signals (window mode's conservative coarse
-                    # end can flag edge pressure forever; without backoff
-                    # that is one wasted probe per recheck for the whole
-                    # run), capped at display cadence so real drift is
-                    # never ignored longer than an eval window
-                    pressure_muted += 1
-                    pressure_muted_streak += 1
-                    pressure_mute_until = n_iter + min(
-                        cfg.display_every,
-                        recheck * (2 ** min(pressure_muted_streak, 4)),
-                    )
-                else:
-                    pressure_fired += 1
-                    pressure_muted_streak = 0
-                pressure_fire = False
-                pressure_over = pressure_over_lo = pressure_edge = 0
+            tuner.resolve(
+                n_iter, changed=(tuning, using_compact) != _before,
+                recheck=recheck,
+            )
 
         if n_iter % cfg.display_every == 0:
-            # a QUIET display window (no pressure observed anywhere in it)
-            # decays each floor one bucket: a converged/pruning grid must
-            # be allowed to shrink k back down, and a too-eager decay only
-            # costs a few truncating chunks before the floor re-grows
-            if using_compact and n_iter - pressure_last_seen >= cfg.display_every:
-                pressure_k_floor = max(0, pressure_k_floor - 32)
-                pressure_wcap_floor = max(0, pressure_wcap_floor - 16)
-                pressure_klo_floor = max(0, pressure_klo_floor - 32)
+            if using_compact:
+                tuner.decay_if_quiet(n_iter)
             t0 = time.perf_counter()
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
@@ -750,8 +605,8 @@ def train(
                             "eval", "choose", "log", "export")
     ))
     timing["dense_rays"] = _dense_rays
-    timing["pressure_fired"] = pressure_fired
-    timing["pressure_muted"] = pressure_muted
+    timing["pressure_fired"] = tuner.fired
+    timing["pressure_muted"] = tuner.muted
     timing["steady_rays_per_sec"] = (
         _compact_steady_rays / timing["step_compact"]
         if timing["step_compact"] > 0
