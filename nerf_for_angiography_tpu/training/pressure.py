@@ -85,6 +85,14 @@ class PressureTuner:
     klo_floor: int = 0
     wcap_floor: int = 0
     last_seen: int = -(10**9)  # last boundary with nonzero pressure
+    # the bucket split collapsed under pressure/floors (lo-bucket need
+    # reached k): the next probe-blind re-check would re-enable it from
+    # the probe's small width_lo and the batch would truncate again —
+    # measured as a k_lo 40↔0 flip at EVERY 100-iter check for a whole
+    # 20k run (r3q12_h2k_s0, 179 retunes, half the run truncating).
+    # While banned, retunes force k_lo = 0; a quiet display window lifts
+    # the ban like the floors decay.
+    klo_banned: bool = False
 
     # -- boundary observation ------------------------------------------------
     def observe(self, m: int, over: int, over_lo: int, edge: int) -> None:
@@ -107,7 +115,9 @@ class PressureTuner:
         if w_cap and self.wcap_floor:
             w_cap = max(w_cap, min(self.wcap_floor, cfg.depth_samples_per_ray))
         k_lo = (
-            compact_k_lo_for(choice.width_lo, k, cfg) if choice.w_lo else 0
+            compact_k_lo_for(choice.width_lo, k, cfg)
+            if choice.w_lo and not self.klo_banned
+            else 0
         )
         return Tuning(choice.mode, k, w_cap, choice.w_lo, k_lo)
 
@@ -123,7 +133,11 @@ class PressureTuner:
         mode2, width2 = choice.mode, choice.width
         wcap2, wlo2 = choice.w_cap, choice.w_lo
         k2 = compact_k_for(width2, cfg)
-        klo2 = compact_k_lo_for(choice.width_lo, k2, cfg) if wlo2 else 0
+        klo2 = (
+            compact_k_lo_for(choice.width_lo, k2, cfg)
+            if wlo2 and not self.klo_banned
+            else 0
+        )
         if mode2 == t.mode:
             if k2 > t.k - 32:
                 k2 = max(k2, t.k)
@@ -159,6 +173,8 @@ class PressureTuner:
                     klo2 = 0
                 if klo2:
                     self.klo_floor = max(self.klo_floor, klo2)
+                else:
+                    self.klo_banned = True  # need reached k: ban the split
             if self.edge > 0 and t.w_cap:
                 wcap2 = max(
                     wcap2, min(t.w_cap + 16, cfg.depth_samples_per_ray)
@@ -175,6 +191,7 @@ class PressureTuner:
             klo2 = max(klo2, self.klo_floor)
             if klo2 >= k2:
                 klo2 = 0
+                self.klo_banned = True  # floored need reached k: ban
         return Tuning(mode2, k2, wcap2, wlo2, klo2)
 
     # -- fire bookkeeping ------------------------------------------------------
@@ -210,3 +227,4 @@ class PressureTuner:
             self.k_floor = max(0, self.k_floor - 32)
             self.wcap_floor = max(0, self.wcap_floor - 16)
             self.klo_floor = max(0, self.klo_floor - 32)
+            self.klo_banned = False  # quiet window: let the split retry

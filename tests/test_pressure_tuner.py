@@ -189,6 +189,39 @@ def test_k_lo_collapses_to_single_k_when_it_reaches_k():
     assert t2.k_lo == 0
 
 
+def test_collapsed_split_is_banned_until_quiet():
+    """The r3q12_h2k_s0 thrash: pressure collapses k_lo (lo-bucket need
+    reached k), the next probe-blind check re-proposed k_lo from the
+    probe's small width_lo, the batch truncated again — a 40<->0 flip at
+    EVERY check for a whole 20k run. A collapse must ban the split until
+    a quiet display window."""
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor = 160  # as in the real run: the batch pressed k to 160
+    t = Tuning("hybrid", 160, 208, 112, 40)
+    probe = CompactChoice(
+        mode="hybrid", width=39, w_cap=160, w_lo=112, width_lo=33
+    )
+    # batch lo-bucket presses its need past k (40 + 130 -> >= 160)
+    tuner.observe(2800, over=0, over_lo=130, edge=0)
+    t2 = tuner.retune(t, probe, CFG)
+    assert t2.k_lo == 0 and tuner.klo_banned
+    tuner.resolve(2800, changed=True, recheck=100)
+
+    # the next probe-blind checks must NOT re-enable the split
+    t3 = tuner.retune(t2, probe, CFG)
+    assert t3.k_lo == 0
+
+    # pressure keeps the window non-quiet -> ban holds through display
+    tuner.observe(3000, over=1, over_lo=0, edge=0)
+    tuner.decay_if_quiet(3300)
+    assert tuner.klo_banned
+    # a genuinely quiet display window lifts the ban; the split may retry
+    tuner.decay_if_quiet(3800)
+    assert not tuner.klo_banned
+    t4 = tuner.retune(t3, probe, CFG)
+    assert t4.k_lo == 40
+
+
 def test_edge_pressure_grows_w_cap_by_one_bucket():
     tuner = PressureTuner(display_every=CFG.display_every)
     t = Tuning("hybrid", 96, 160, 0, 0)
