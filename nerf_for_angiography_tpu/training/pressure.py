@@ -130,63 +130,66 @@ class PressureTuner:
         budget k) and real grid convergence pay for themselves. A fire
         additionally grows by the batch's own measured need and REMEMBERS
         it as a floor; floors apply to EVERY retune, fired or not."""
-        mode2, width2 = choice.mode, choice.width
-        wcap2, wlo2 = choice.w_cap, choice.w_lo
-        k2 = compact_k_for(width2, cfg)
+        fire = self.fire and choice.mode == t.mode
+        mode2 = choice.mode
+
+        # ---- k: probe -> hysteresis -> batch pressure -> floor.
+        # k settles FIRST: every k_lo decision below compares against the
+        # k actually being paid. (The first wiring compared k_lo to the
+        # pre-floor probe k — on a floored run, k_lo >= probe-k collapsed
+        # the split on exactly the alternating checks where hysteresis had
+        # state to compare, re-enabled it on the others: a 48<->0 flip at
+        # EVERY check, r3q12_h2k_s1.)
+        k2 = compact_k_for(choice.width, cfg)
+        if mode2 == t.mode and k2 > t.k - 32:
+            k2 = max(k2, t.k)
+        if fire and self.over > 0:
+            # the BATCH measured its own need this chunk — floor the
+            # probe-derived size with it (the probe is the test view; the
+            # train batch can press harder) and REMEMBER the floor
+            k2 = max(k2, compact_k_for(t.k + self.over, cfg))
+            self.k_floor = max(self.k_floor, k2)
+        if self.k_floor:
+            k2 = max(k2, self.k_floor)
+
+        # ---- w_cap: same ladder.
+        wcap2 = choice.w_cap
+        if mode2 == t.mode and wcap2 > t.w_cap - 32:
+            wcap2 = max(wcap2, t.w_cap)
+        if fire and self.edge > 0 and t.w_cap:
+            wcap2 = max(wcap2, min(t.w_cap + 16, cfg.depth_samples_per_ray))
+            self.wcap_floor = max(self.wcap_floor, wcap2)
+        if self.wcap_floor and wcap2:
+            wcap2 = max(wcap2, min(self.wcap_floor, cfg.depth_samples_per_ray))
+
+        # ---- w_lo: hysteresis only (sized by the chooser's quantile).
+        wlo2 = choice.w_lo
+        if mode2 == t.mode and wlo2 and t.w_lo and wlo2 > t.w_lo - 32:
+            wlo2 = max(wlo2, t.w_lo)
+
+        # ---- k_lo, against the FINAL k2. A collapse (need reached k: the
+        # split buys nothing; k_lo = 0 marches every ray at k) must NOT
+        # keep the stale truncating k_lo, and must ban re-enablement until
+        # a quiet window (see klo_banned).
         klo2 = (
             compact_k_lo_for(choice.width_lo, k2, cfg)
             if wlo2 and not self.klo_banned
             else 0
         )
-        if mode2 == t.mode:
-            if k2 > t.k - 32:
-                k2 = max(k2, t.k)
-            if wcap2 > t.w_cap - 32:
-                wcap2 = max(wcap2, t.w_cap)
-            if wlo2 and t.w_lo and wlo2 > t.w_lo - 32:
-                wlo2 = max(wlo2, t.w_lo)
-            if klo2 and t.k_lo and klo2 > t.k_lo - 32:
-                # growing k_lo back to (or past) k means the split buys
-                # nothing — fall back to single-k there
-                klo2 = max(klo2, t.k_lo)
-                if klo2 >= k2:
-                    klo2 = 0
-        if self.fire and mode2 == t.mode:
-            # the BATCH measured its own need this chunk — floor the
-            # probe-derived sizes with it (the probe is the test view; the
-            # train batch can press harder) and REMEMBER the floors
-            if self.over > 0:
-                k2 = max(k2, compact_k_for(t.k + self.over, cfg))
-                self.k_floor = max(self.k_floor, k2)
-            if self.over_lo > 0 and klo2:
-                # the lo bucket's measured need; 0 from the sizer means the
-                # need reaches k — the split buys nothing, COLLAPSE to
-                # single-k (k_lo = 0 marches every ray at k) rather than
-                # keep the old truncating k_lo. (The first wiring of this
-                # branch fell back to the stale k_lo here — `or klo2` —
-                # leaving the lo bucket truncating exactly the drift this
-                # machinery exists to stop; caught by
-                # tests/test_pressure_tuner.py.)
-                klo2 = compact_k_lo_for(t.k_lo + self.over_lo, k2, cfg)
-                klo2 = max(klo2, t.k_lo) if klo2 else 0
-                if klo2 >= k2:
-                    klo2 = 0
-                if klo2:
-                    self.klo_floor = max(self.klo_floor, klo2)
-                else:
-                    self.klo_banned = True  # need reached k: ban the split
-            if self.edge > 0 and t.w_cap:
-                wcap2 = max(
-                    wcap2, min(t.w_cap + 16, cfg.depth_samples_per_ray)
-                )
-                self.wcap_floor = max(self.wcap_floor, wcap2)
-        # persistent floors apply to EVERY retune, fired or not (each floor
-        # was itself a compact_k_for/+16-bucket output, so the ladder caps
-        # are already respected)
-        if self.k_floor:
-            k2 = max(k2, self.k_floor)
-        if self.wcap_floor and wcap2:
-            wcap2 = max(wcap2, min(self.wcap_floor, cfg.depth_samples_per_ray))
+        if mode2 == t.mode and klo2 and t.k_lo and klo2 > t.k_lo - 32:
+            klo2 = max(klo2, t.k_lo)
+            if klo2 >= k2:
+                klo2 = 0
+                self.klo_banned = True
+        if fire and self.over_lo > 0 and klo2:
+            klo2 = compact_k_lo_for(t.k_lo + self.over_lo, k2, cfg)
+            klo2 = max(klo2, t.k_lo) if klo2 else 0
+            if klo2 >= k2:
+                klo2 = 0
+            if klo2:
+                self.klo_floor = max(self.klo_floor, klo2)
+            else:
+                self.klo_banned = True  # need reached k: ban the split
         if self.klo_floor and klo2:
             klo2 = max(klo2, self.klo_floor)
             if klo2 >= k2:

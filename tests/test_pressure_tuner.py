@@ -222,6 +222,25 @@ def test_collapsed_split_is_banned_until_quiet():
     assert t4.k_lo == 40
 
 
+def test_floored_k_is_the_reference_for_k_lo_decisions():
+    """The r3q12_h2k_s1 thrash: with k floored at 128 (probe says 48),
+    comparing k_lo against the PRE-floor probe k collapsed the split
+    (48 >= 48) on exactly the checks where hysteresis had a k_lo to
+    compare, and re-enabled it on the others — a 48<->0 flip at every
+    check. The engaged state must be a FIXED POINT of a probe-blind
+    retune."""
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor, tuner.klo_floor = 128, 48
+    t = Tuning("hybrid", 128, 192, 112, 48)
+    probe = CompactChoice(
+        mode="hybrid", width=39, w_cap=192, w_lo=112, width_lo=33
+    )
+    assert tuner.retune(t, probe, CFG) == t
+    # and twice (the alternation had period 2)
+    assert tuner.retune(tuner.retune(t, probe, CFG), probe, CFG) == t
+    assert not tuner.klo_banned
+
+
 def test_edge_pressure_grows_w_cap_by_one_bucket():
     tuner = PressureTuner(display_every=CFG.display_every)
     t = Tuning("hybrid", 96, 160, 0, 0)
