@@ -1,9 +1,11 @@
 #!/bin/bash
 # Round-3 TPU queue (session 8b): gate completion + LCA floors anchor.
-#   h2k_s0b — rerun of the queue12 h2k_s0 stage: its first run executed
-#             the pre-ban code and spent half the run on a truncating lo
-#             bucket (k_lo 40<->0 thrash at every check, commit 3424730);
-#             the gate's 4-seed table uses this rerun instead.
+#   h2k_s{0,1,3}b — reruns of the queue12 candidate stages: s0 ran the
+#             pre-ban code (k_lo 40<->0 thrash every check, commit
+#             3424730), s1/s3 the ban-without-ordering code (hysteresis
+#             collapse vs the pre-floor k, commit 18dea41); only
+#             queue12's h2k_s2 executed the fixed tuner. The gate's
+#             4-seed table uses these reruns.
 #   lca     — converged LCA/SDF anchor through the production CLIs, now
 #             inheriting the pressure floors (the committed LCA.md anchor
 #             predates them and its probe-sized k truncated the batch the
@@ -35,9 +37,11 @@ stage() {
   echo "=== STAGE $name done rc=$? $(date -u +%H:%M:%S) ===" | tee -a /tmp/r3_queue13_status
 }
 
-stage h2k_s0b 2400 python tools/quality_run.py --iters 20000 --seed 0 \
-    --sampling overdraw --carve --engage_max 192 \
-    --hybrid_split 0.75 --hybrid_bucket_k
+for s in 0 1 3; do
+  stage h2k_s${s}b 2400 python tools/quality_run.py --iters 20000 --seed $s \
+      --sampling overdraw --carve --engage_max 192 \
+      --hybrid_split 0.75 --hybrid_bucket_k
+done
 
 stage lca 3600 bash tools/lca_anchor.sh /tmp/lca_anchor_floors 20000
 
