@@ -51,6 +51,10 @@ def main():
              "(TrainConfig.hybrid_bucket_k; needs --hybrid_split > 0)",
     )
     ap.add_argument(
+        "--tag", default="",
+        help="provenance tag recorded in the persisted result row",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=1,
         help="run train() N times in-process; runs 2+ reuse every compiled "
              "stepper (make_train_* are memoized) — the warm number is the "
@@ -105,7 +109,7 @@ def main():
             f"last_psnr={res.last_psnr:.2f}; {res.rays_per_sec:.0f} rays/s "
             f"(march={cfg.march_mode}, mlp={cfg.mlp_backend})"
         )
-        print("RESULT_JSON " + json.dumps({
+        row = {
             "seed": cfg.seed,
             "sampling": cfg.sampling_impl,
             "jitter": cfg.grid_jitter,
@@ -120,7 +124,22 @@ def main():
             "warm": run_i > 0,
             "timing": {k: (round(v, 2) if isinstance(v, float) else v)
                        for k, v in res.timing.items()},
-        }))
+        }
+        if args.tag:
+            row["tag"] = args.tag
+        print("RESULT_JSON " + json.dumps(row))
+        # persist in-repo so a container restart can't lose the row (the
+        # queue11/12 RESULT_JSON lines lived only in /tmp logs and were
+        # wiped with the session)
+        rows_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "quality_runs_r3.jsonl",
+        )
+        try:
+            with open(rows_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+        except OSError as e:
+            print(f"WARNING: could not persist result row: {e}")
 
 
 if __name__ == "__main__":
