@@ -27,6 +27,8 @@ def steady(row):
     if row.get("steady_rays_per_sec"):  # recovered-summary rows carry it raw
         return float(row["steady_rays_per_sec"])
     t = row.get("timing", {})
+    if t.get("steady_rays_per_sec"):  # the loop's own in-loop steady metric
+        return float(t["steady_rays_per_sec"])
     dt = (t.get("step_compact") or 0.0) + (t.get("step_dense") or 0.0)
     if not dt:
         return None
