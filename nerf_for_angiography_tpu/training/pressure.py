@@ -22,7 +22,7 @@ Why it exists (measured on the flagship carve runs, queue9/10 logs in
   at display cadence so real drift is never ignored longer than one eval
   window.
 
-The machine's four invariants:
+The machine's five invariants:
 
 1. any nonzero pressure at an observed boundary forces a re-choose at
    that boundary (unless muted), not at the next cadence check;
@@ -30,7 +30,15 @@ The machine's four invariants:
 3. floors decay one bucket per QUIET display window, so a converged or
    pruning grid can still shrink k back down;
 4. fires that change nothing back off exponentially (cap: display
-   cadence) instead of paying one probe march per chunk forever.
+   cadence) instead of paying one probe march per chunk forever;
+5. a decay that BOUNCES — a fire regrows a floor (or re-collapses the
+   just-unbanned bucket split) within one display window of the decay —
+   doubles the quiet period required before the next decay, and a decay
+   that sticks for a full window resets the backoff. Without this the
+   steady state oscillates: tools/retune_stats.py measured 8 decay-bounce
+   cycles per 20k run (~100 truncating iters each, ~4% of the run, plus
+   ~8 avoidable probe marches + stepper compiles) on the r3 queue14 gate
+   runs.
 """
 
 from __future__ import annotations
@@ -93,6 +101,13 @@ class PressureTuner:
     # While banned, retunes force k_lo = 0; a quiet display window lifts
     # the ban like the floors decay.
     klo_banned: bool = False
+    # floor-decay backoff (invariant 5): boundary of the last decay, the
+    # floors/ban snapshot it left behind, and the consecutive-bounce streak
+    # that scales the quiet period required for the next decay
+    last_decay: int = -(10**9)
+    decay_streak: int = 0
+    decay_bounces: int = 0  # lifetime count (TrainResult.timing / stats)
+    _decay_snapshot: tuple = (0, 0, 0, True)
 
     # -- boundary observation ------------------------------------------------
     def observe(self, m: int, over: int, over_lo: int, edge: int) -> None:
@@ -216,6 +231,24 @@ class PressureTuner:
         else:
             self.fired += 1
             self.muted_streak = 0
+        # decay bounce (invariant 5): this fire regrew a floor — or
+        # re-collapsed the just-unbanned split — within one display window
+        # of the last decay. The decay was premature: double the quiet
+        # period the next one requires. Counted once per decay (the
+        # sentinel reset), and checked regardless of ``changed`` — a floor
+        # can regrow before the shrink it licenses ever compiles.
+        if m - self.last_decay <= self.display_every:
+            kf, wf, lf, banned = self._decay_snapshot
+            regrown = (
+                self.k_floor > kf
+                or self.wcap_floor > wf
+                or self.klo_floor > lf
+                or (self.klo_banned and not banned)
+            )
+            if regrown:
+                self.decay_streak = min(self.decay_streak + 1, 4)
+                self.decay_bounces += 1
+                self.last_decay = -(10**9)
         self.fire = False
         self.over = self.over_lo = self.edge = 0
 
@@ -225,9 +258,33 @@ class PressureTuner:
         decays each floor one bucket: a converged/pruning grid must be
         allowed to shrink k back down, and a too-eager decay only costs a
         few truncating chunks before the floor re-grows (invariant 3).
+        Bounced decays back off exponentially (invariant 5) so the
+        steady state cannot oscillate decay->regrow every window.
         Call at display boundaries while the compacted stepper runs."""
-        if m - self.last_seen >= self.display_every:
+        if (
+            self.decay_streak
+            and self.last_decay > -(10**8)
+            and m - self.last_decay >= self.display_every
+        ):
+            # the last decay survived a full display window un-bounced:
+            # the grid really did shrink — drop the backoff
+            self.decay_streak = 0
+        if m - self.last_seen >= self.display_every * (2**self.decay_streak):
+            # a no-op decay (nothing to shed) must not arm bounce
+            # detection — a later fresh fire is growth, not a bounce
+            armed = bool(
+                self.k_floor or self.wcap_floor or self.klo_floor
+                or self.klo_banned
+            )
             self.k_floor = max(0, self.k_floor - 32)
             self.wcap_floor = max(0, self.wcap_floor - 16)
             self.klo_floor = max(0, self.klo_floor - 32)
             self.klo_banned = False  # quiet window: let the split retry
+            if armed:
+                self.last_decay = m
+                self._decay_snapshot = (
+                    self.k_floor,
+                    self.wcap_floor,
+                    self.klo_floor,
+                    self.klo_banned,
+                )

@@ -241,6 +241,119 @@ def test_floored_k_is_the_reference_for_k_lo_decisions():
     assert not tuner.klo_banned
 
 
+def test_decay_bounce_doubles_the_quiet_period():
+    """Invariant 5 (the r3 session-9 diagnosis): decay_if_quiet drops
+    k_floor one bucket every quiet window, the very next pressure fire
+    regrows it — 8 such bounce cycles per 20k run, ~100 truncating iters
+    each. A bounced decay must double the quiet period the next decay
+    requires; a decay that sticks resets the backoff."""
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = tuner.engage(PROBE, CFG)
+    tuner.observe(50, over=112, over_lo=0, edge=0)
+    t = tuner.retune(t, PROBE, CFG)
+    tuner.resolve(50, changed=True, recheck=100)
+    assert tuner.k_floor == 192
+
+    # quiet window -> decay fires (streak 0)
+    tuner.decay_if_quiet(550)
+    assert tuner.k_floor == 160 and tuner.last_decay == 550
+
+    # the batch regrows the floor within the same display window: BOUNCE
+    tuner.observe(600, over=40, over_lo=0, edge=0)
+    t = tuner.retune(t, PROBE, CFG)
+    tuner.resolve(600, changed=True, recheck=100)
+    assert tuner.k_floor == 192
+    assert tuner.decay_streak == 1 and tuner.decay_bounces == 1
+
+    # one quiet window is no longer enough...
+    tuner.decay_if_quiet(1100)
+    assert tuner.k_floor == 192
+    # ...two are (600 + 2*500 = 1600)
+    tuner.decay_if_quiet(1600)
+    assert tuner.k_floor == 160
+
+    # second bounce doubles again
+    tuner.observe(1650, over=40, over_lo=0, edge=0)
+    t = tuner.retune(t, PROBE, CFG)
+    tuner.resolve(1650, changed=True, recheck=100)
+    assert tuner.decay_streak == 2 and tuner.decay_bounces == 2
+    tuner.decay_if_quiet(2650)  # 1000 quiet < 2000 required
+    assert tuner.k_floor == 192
+    tuner.decay_if_quiet(3650)  # 2000 quiet
+    assert tuner.k_floor == 160
+
+
+def test_decay_that_sticks_resets_the_backoff():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor = 192
+    tuner.decay_streak = 2
+    tuner.last_seen = 50
+    # streak 2 -> needs 2000 quiet; decay at 2100
+    tuner.decay_if_quiet(2100)
+    assert tuner.k_floor == 160 and tuner.last_decay == 2100
+    # a full display window passes with no bounce: the next display
+    # boundary drops the backoff and decays again immediately
+    tuner.decay_if_quiet(2600)
+    assert tuner.decay_streak == 0
+    assert tuner.k_floor == 128
+
+
+def test_bounce_counted_once_per_decay():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = tuner.engage(PROBE, CFG)
+    tuner.observe(50, over=112, over_lo=0, edge=0)
+    t = tuner.retune(t, PROBE, CFG)
+    tuner.resolve(50, changed=True, recheck=100)
+    tuner.decay_if_quiet(550)
+
+    # two regrow fires inside the same window: ONE bounce
+    for m in (600, 700):
+        tuner.observe(m, over=40, over_lo=0, edge=0)
+        t = tuner.retune(t, PROBE, CFG)
+        tuner.resolve(m, changed=True, recheck=100)
+    assert tuner.decay_bounces == 1 and tuner.decay_streak == 1
+
+
+def test_fresh_growth_with_no_prior_floor_is_not_a_bounce():
+    """A no-op decay (all floors already zero) must not arm bounce
+    detection: the first pressure fire of a run is growth, not a bounce."""
+    tuner = PressureTuner(display_every=CFG.display_every)
+    t = tuner.engage(PROBE, CFG)
+    tuner.decay_if_quiet(500)  # nothing to shed
+    tuner.observe(550, over=112, over_lo=0, edge=0)
+    t = tuner.retune(t, PROBE, CFG)
+    tuner.resolve(550, changed=True, recheck=100)
+    assert tuner.decay_bounces == 0 and tuner.decay_streak == 0
+
+
+def test_ban_lift_then_recollapse_is_a_bounce():
+    """The split-collapse analogue: a quiet window lifts klo_banned, the
+    split re-enables, the batch collapses it again within the window —
+    that oscillation must also back off the decay cadence."""
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor = 160
+    tuner.klo_banned = True
+    tuner.last_seen = 50
+    tuner.decay_if_quiet(600)
+    assert not tuner.klo_banned and tuner.last_decay == 600
+
+    # the re-enabled split immediately collapses again under lo pressure
+    t = Tuning("hybrid", 160, 208, 112, 40)
+    probe = CompactChoice(
+        mode="hybrid", width=39, w_cap=160, w_lo=112, width_lo=33
+    )
+    tuner.observe(700, over=0, over_lo=130, edge=0)
+    t2 = tuner.retune(t, probe, CFG)
+    assert t2.k_lo == 0 and tuner.klo_banned
+    tuner.resolve(700, changed=True, recheck=100)
+    assert tuner.decay_bounces == 1 and tuner.decay_streak == 1
+    # the ban now holds for TWO quiet windows, not one
+    tuner.decay_if_quiet(1300)
+    assert tuner.klo_banned
+    tuner.decay_if_quiet(1800)
+    assert not tuner.klo_banned
+
+
 def test_edge_pressure_grows_w_cap_by_one_bucket():
     tuner = PressureTuner(display_every=CFG.display_every)
     t = Tuning("hybrid", 96, 160, 0, 0)
