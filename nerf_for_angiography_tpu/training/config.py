@@ -87,17 +87,23 @@ class TrainConfig:
     # runs ~4x slower than compacted; interim engagement converts most of
     # it. 0 = round-2 behavior (wait for width <= 0.9*compact_samples).
     # Lossless: the switch criterion (choose_compact_mode) still requires
-    # the interim k to cover every test ray's active width.
-    compact_engage_max: int = 0
+    # the interim k to cover every test ray's active width. DEFAULT ON
+    # since round 4: the production protocol (carve + interim engagement)
+    # is the shipped default — 1.11M rays/s end-to-end at 20k iters vs
+    # 337k without, at equal-or-better held-out PSNR (benchmarks/
+    # QUALITY.md round-3 table; 8-run gate in quality_runs_r3.jsonl).
+    # --reference-strict restores the reference-parity warmup.
+    compact_engage_max: int = 192
     # space-carving grid initialization (ops/occupancy.py::carve_feasible):
     # cells traversed by an unattenuated (pixel >= carve_thresh) training
     # ray start — and stay — pruned, engaging the compacted stepper within
     # ~100 iterations instead of ~3-4k (the EMA prune time). Carving is
     # eroded by one cell for conservativeness and skipped automatically
-    # under pose_refine (the rays move during training). Off = the
-    # reference's always-start-fully-occupied nerfacc behavior
-    # (run_nerf_acc.py:196-198).
-    carve_init: bool = False
+    # under pose_refine (the rays move during training). DEFAULT ON since
+    # round 4 (see compact_engage_max); False = the reference's
+    # always-start-fully-occupied nerfacc behavior (run_nerf_acc.py:
+    # 196-198), restored by --reference-strict.
+    carve_init: bool = True
     carve_thresh: float = 0.995
     # probe the occupancy grid every n-th sample during marching (union of
     # bracketing probes; see ops/occupancy.py). 1 = exact per-sample query.
@@ -131,7 +137,16 @@ class TrainConfig:
     # ~ split*w_lo + (1-split)*w_cap of w_cap. 0 disables (single-bucket
     # hybrid). The loop tunes hybrid_w_lo from the measured hit-ray span
     # quantile (train.py::hybrid_w_lo_for) exactly like hybrid_w_cap.
-    hybrid_split: float = 0.0
+    # DEFAULT 0.75 since round 4 per the pre-registered queue14 gate
+    # (tools/r3_queue14.sh rule, tools/r3_gate_eval.py verdict): per-seed
+    # held-out deltas +0.04/−1.74/−1.68/+2.20 dB all inside the 3.30 dB
+    # control cross-seed spread, mean steady 0.994M >= controls' 0.989M
+    # rays/s. NOTE the mean held-out delta is −0.29 dB — inside seed
+    # noise, but monitored: the round-4 confirmation runs at the shipped
+    # defaults re-check it (benchmarks/quality_runs_r4.jsonl). The split
+    # only activates when the loop's chooser proposes a w_lo (hybrid-mode
+    # grids); window-mode runs are unaffected.
+    hybrid_split: float = 0.75
     hybrid_w_lo: int = 0
     # per-bucket compaction width for the two-bucket march
     # (ops/occupancy.py::march_rays_hybrid2k): with hybrid_bucket_k the
@@ -142,8 +157,9 @@ class TrainConfig:
     # measured lo-bucket active-count max (the chooser's ac_lo stat,
     # train.py::compact_k_lo_for) and re-grows it at check cadence —
     # the same losslessness protocol as k/w_cap/w_lo. hybrid_k_lo is the
-    # RUNTIME value (normally loop-tuned); 0 = single k.
-    hybrid_bucket_k: bool = False
+    # RUNTIME value (normally loop-tuned); 0 = single k. DEFAULT ON since
+    # round 4 (queue14 gate — see hybrid_split above).
+    hybrid_bucket_k: bool = True
     hybrid_k_lo: int = 0
     # grid-evolution margin on the runtime compaction width k
     # (train.py::compact_k_for): k = ceil(width * margin / 8) * 8. The
@@ -264,6 +280,20 @@ class TrainConfig:
         return "clinical-angles"
 
 
+# the reference-parity protocol knobs that round 4 flipped ON by default
+# (run_nerf_acc.py:196-198 starts fully occupied and marches single-width;
+# the production defaults carve + engage early + two-bucket march). One
+# flag restores the strict behavior for apples-to-apples comparisons.
+# Orthogonal exactness knobs keep their own fields: sampling_impl='gumbel'
+# (exact pandas draw semantics), compute_dtype='float32'.
+REFERENCE_STRICT_OVERRIDES = dict(
+    carve_init=False,
+    compact_engage_max=0,
+    hybrid_split=0.0,
+    hybrid_bucket_k=False,
+)
+
+
 def parse_train_args(argv=None) -> TrainConfig:
     """CLI shim with the exact reference flags and defaults
     (run_nerf_acc.py:25-47)."""
@@ -304,26 +334,35 @@ def parse_train_args(argv=None) -> TrainConfig:
         "gumbel = exact pandas successive-draw semantics)",
     )
     p.add_argument(
-        "--carve_init", action="store_true",
+        "--carve_init", default=None, choices=["True", "False"],
         help="space-carving occupancy-grid init from unattenuated training "
         "rays (skips most of the dense warmup phase; auto-disabled with "
-        "--pose_refine)",
+        "--pose_refine). Default True (production protocol)",
     )
     p.add_argument(
         "--compact_engage_max", default=None,
         help="interim compaction ladder cap: engage the compacted stepper "
-        "early with k up to this value (0 = wait for compact_samples fit)",
+        "early with k up to this value (0 = wait for compact_samples fit). "
+        "Default 192 (production protocol)",
     )
     p.add_argument(
         "--hybrid_split", default=None,
         help="two-bucket hybrid march: fraction of the batch (sorted by "
-        "span) marched at the smaller auto-tuned w_lo window (0 = off)",
+        "span) marched at the smaller auto-tuned w_lo window (0 = off). "
+        "Default 0.75 (round-4 queue14 gate)",
     )
     p.add_argument(
-        "--hybrid_bucket_k", action="store_true",
+        "--hybrid_bucket_k", default=None, choices=["True", "False"],
         help="per-bucket compaction width for the two-bucket march: the "
         "narrow bucket emits an auto-tuned k_lo < k samples/ray to the MLP "
-        "(needs --hybrid_split > 0)",
+        "(needs --hybrid_split > 0). Default True (round-4 queue14 gate)",
+    )
+    p.add_argument(
+        "--reference-strict", action="store_true", dest="reference_strict",
+        help="restore the reference-parity training protocol: no carve "
+        "init, no interim compaction engagement, single-bucket march "
+        "(run_nerf_acc.py:196-198 semantics). Explicit per-knob flags "
+        "still override on top",
     )
     a = p.parse_args(argv)
 
@@ -362,14 +401,16 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["mlp_backend"] = a.mlp_backend
     if a.sampling_impl:
         kw["sampling_impl"] = a.sampling_impl
-    if a.carve_init:
-        kw["carve_init"] = True
+    if a.reference_strict:
+        kw.update(REFERENCE_STRICT_OVERRIDES)
+    if a.carve_init is not None:
+        kw["carve_init"] = a.carve_init == "True"
     if a.compact_engage_max is not None:
         kw["compact_engage_max"] = int(a.compact_engage_max)
     if a.hybrid_split is not None:
         kw["hybrid_split"] = float(a.hybrid_split)
-    if a.hybrid_bucket_k:
-        kw["hybrid_bucket_k"] = True
+    if a.hybrid_bucket_k is not None:
+        kw["hybrid_bucket_k"] = a.hybrid_bucket_k == "True"
     cfg = TrainConfig(**kw)
     return cfg, a.data_dir
 

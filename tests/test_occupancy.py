@@ -853,12 +853,13 @@ def test_choose_compact_mode_interim_engagement():
     base = dict(
         depth_samples_per_ray=300, compact_samples=48, outside=100.0,
         grid_resolution=64, march_mode="window",
+        compact_engage_max=0,  # pinned: engagement is ON by default (r4)
     )
     # without interim engagement: width ~90 > 0.9*48 -> no mode fits
     cfg0 = TrainConfig(**base)
     assert choose_compact_mode(cfg0, g, o, d, 1400.0, 1600.0) is None
     # with it: engages, k on the 32-bucket interim ladder, lossless
-    cfg1 = TrainConfig(**base, compact_engage_max=160)
+    cfg1 = TrainConfig(**{**base, "compact_engage_max": 160})
     choice = choose_compact_mode(cfg1, g, o, d, 1400.0, 1600.0)
     assert choice is not None
     k = compact_k_for(choice.width, cfg1)
@@ -1000,7 +1001,11 @@ def test_choose_compact_mode_reports_w_lo():
         depth_samples_per_ray=300, compact_samples=128, outside=100.0,
         grid_resolution=64, march_mode="hybrid",
     )
-    c0 = choose_compact_mode(TrainConfig(**base), g, o, d, 1400.0, 1600.0)
+    # hybrid_split pinned to 0 (the split is the r4 DEFAULT; this test
+    # checks the single-bucket chooser output)
+    c0 = choose_compact_mode(
+        TrainConfig(**base, hybrid_split=0.0), g, o, d, 1400.0, 1600.0
+    )
     assert c0 is not None and c0.mode == "hybrid" and c0.w_lo == 0
     c1 = choose_compact_mode(
         TrainConfig(**base, hybrid_split=0.75), g, o, d, 1400.0, 1600.0
@@ -1140,8 +1145,10 @@ def test_choose_compact_mode_reports_width_lo():
         depth_samples_per_ray=300, compact_samples=128, outside=100.0,
         grid_resolution=64, march_mode="hybrid",
     )
+    # bucket_k pinned OFF for c0 (it is the r4 default)
     c0 = choose_compact_mode(
-        TrainConfig(**base, hybrid_split=0.75), g, o, d, 1400.0, 1600.0
+        TrainConfig(**base, hybrid_split=0.75, hybrid_bucket_k=False),
+        g, o, d, 1400.0, 1600.0,
     )
     assert c0 is not None and c0.width_lo == 0
     c1 = choose_compact_mode(
@@ -1179,7 +1186,8 @@ def test_chooser_prefers_bucketk_hybrid_over_window(monkeypatch):
         tr, "_chooser_stats", lambda *a, **k: (70, 112, 128, 40, 38)
     )
     c_off = tr.choose_compact_mode(
-        TrainConfig(**base, hybrid_split=0.75), g, o, d, 1400.0, 1600.0
+        TrainConfig(**base, hybrid_split=0.75, hybrid_bucket_k=False),
+        g, o, d, 1400.0, 1600.0,
     )
     assert c_off is not None and c_off.mode == "window"
     c_on = tr.choose_compact_mode(

@@ -31,7 +31,20 @@ def main():
     )
     ap.add_argument(
         "--carve", action="store_true",
-        help="space-carving grid init (TrainConfig.carve_init)",
+        help="space-carving grid init (TrainConfig.carve_init; the round-4 "
+        "default — this flag is now a no-op kept for queue-script compat)",
+    )
+    ap.add_argument(
+        "--no_carve", action="store_true",
+        help="disable the (round-4 default) space-carving grid init",
+    )
+    ap.add_argument(
+        "--no_bucket_k", action="store_true",
+        help="disable the (round-4 default) per-bucket-k two-bucket march",
+    )
+    ap.add_argument(
+        "--reference_strict", action="store_true",
+        help="reference-parity protocol (config.REFERENCE_STRICT_OVERRIDES)",
     )
     ap.add_argument(
         "--engage_max", type=int, default=None,
@@ -83,8 +96,18 @@ def main():
         kw["seed"] = args.seed
     if args.jitter:
         kw["grid_jitter"] = True
+    if args.reference_strict:
+        from nerf_for_angiography_tpu.training.config import (
+            REFERENCE_STRICT_OVERRIDES,
+        )
+
+        kw.update(REFERENCE_STRICT_OVERRIDES)
     if args.carve:
         kw["carve_init"] = True
+    if args.no_carve:
+        kw["carve_init"] = False
+    if args.no_bucket_k:
+        kw["hybrid_bucket_k"] = False
     if args.engage_max is not None:
         kw["compact_engage_max"] = args.engage_max
     if args.k_margin is not None:
@@ -133,7 +156,7 @@ def main():
         # wiped with the session)
         rows_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "benchmarks", "quality_runs_r3.jsonl",
+            "benchmarks", "quality_runs_r4.jsonl",
         )
         try:
             with open(rows_path, "a") as f:
