@@ -1,25 +1,33 @@
-"""Benchmark: training throughput (rays/sec/chip) at the reference's
-flagship workload — 75^2 = 5,625 rays/iter, 300 samples/ray, 4x128 CPPN,
-128^3 occupancy grid with EMA updates every 16 steps (run_nerf_acc.py
-constants, BASELINE.md).
+"""Benchmark: the SHIPPED production protocol, end to end — throughput and
+quality from ONE run.
 
-Protocol: the reference's 500k-iteration schedule spends >99% of its time in
-the converged regime where nerfacc's occupancy pruning pays off, so the
-headline number is STEADY-STATE throughput: train 3k iterations to let the
-grid prune (identical math to the reference; trajectory reaches ~35 dB),
-then measure the auto-compacted stepper the production loop switches to
-(training/loop.py; switch is gated on every test ray's active samples
-fitting the compacted width, so it is render-lossless). The cold-start
-dense-phase rate is printed to stderr.
+Workload: the reference's flagship training problem (run_nerf_acc.py
+constants, BASELINE.md) — 26-view vessel-phantom dataset at 100x100 px,
+custom 135/135 view held out, 75^2 = 5,625 rays/iter, 300 samples/ray,
+4x128 CPPN, 128^3 occupancy grid — trained for 20k iterations through the
+production ``train()`` loop at the SHIPPED ``TrainConfig`` defaults
+(carve init, interim compaction engagement, two-bucket per-k hybrid march,
+pressure floors). Round 3 reported throughput from a no-carve synthetic
+protocol and quality from separate runs; since round 4 both numbers come
+from the same run (VERDICT r3 weak #2).
+
+Headline value = STEADY rays/s: in-loop compacted-stepper wall time only
+(excludes one-time compiles — through the axon tunnel a cold compile bill
+is ~150-600 s of pure XLA latency that says nothing about the hardware —
+but INCLUDES every recurring cost: grid updates, pressure observation,
+sampler, host sync). ``e2e_rays_per_sec`` is the everything-included rate
+and ``heldout_psnr_db`` the 135/135 view's PSNR at 20k iters — the same
+protocol benchmarks/QUALITY.md tracks (50.05-50.63 dB controls at r3).
 
 Baseline: the reference publishes no absolute throughput; its effective
 rate is 5,625 rays / measured iteration time on a single GPU
 (run_nerf_acc.py:335-336). BASELINE_RAYS_PER_SEC estimates that at ~60
 ms/iteration (host-side pandas weighted sampling every iteration + double
 MLP evaluation per sample dominate, SURVEY.md §3.1). vs_baseline =
-measured / baseline.
+measured / baseline, labeled "estimated".
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+BENCH_ITERS overrides the 20k (smoke runs); the JSON records it.
 """
 
 import json
@@ -35,9 +43,7 @@ os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 # grids, the bench) skip the 4-12 s remote compiles entirely
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
 
@@ -50,7 +56,7 @@ enable_persistent_cache()
 BASELINE_RAYS_PER_SEC = 93_750.0
 
 
-def _watchdog(seconds: int = 240):
+def _watchdog(seconds: int):
     """The axon TPU tunnel can wedge (every op blocks forever). Fail loudly
     instead of hanging the driver — and, since the wedge is often transient
     but latches the in-process backend, re-exec ONE fresh process after a
@@ -79,41 +85,19 @@ def main():
     # health check: trivial op round-trips before committing to the run
     float(jnp.ones(4).sum())
     signal.alarm(0)
-    _watchdog(560)
 
     from nerf_for_angiography_tpu.data import (
         DatagenConfig,
         generate_dataset,
         make_vessel_volume,
     )
-    from nerf_for_angiography_tpu.training import TrainConfig, create_train_state
-    from nerf_for_angiography_tpu.training.train import (
-        choose_compact_mode,
-        compact_k_for,
-        compact_k_lo_for,
-        make_train_chunk,
-    )
+    from nerf_for_angiography_tpu.training import TrainConfig
+    from nerf_for_angiography_tpu.training.loop import train
 
-    # reference flagship workload (run_nerf_acc.py:129-183)
-    # BENCH_GRID_JITTER=1 measures with jittered grid updates (they fatten
-    # the converged grid slightly, which moves the measured compaction
-    # width — see benchmarks/MFU.md). Default follows TrainConfig
-    # (grid_jitter=False): the bench measures the shipped defaults.
-    cfg = TrainConfig(
-        grid_jitter=os.environ.get("BENCH_GRID_JITTER", "0") == "1",
-        # BENCH_K_MARGIN sweeps the grid-evolution margin on the runtime
-        # compaction width (TrainConfig.compact_k_margin) — the MLP cost is
-        # linear in k, so this measures the margin's per-step price
-        compact_k_margin=float(os.environ.get("BENCH_K_MARGIN", "1.15")),
-        # BENCH_HYBRID_SPLIT=0.75 measures the two-bucket span-sorted
-        # hybrid march (march_rays_hybrid2): the narrow fraction pays a
-        # w_lo-sized fine-probe window instead of w_cap
-        hybrid_split=float(os.environ.get("BENCH_HYBRID_SPLIT", "0")),
-        # BENCH_BUCKET_K=1 additionally gives the narrow bucket its own
-        # auto-tuned compaction width k_lo < k (march_rays_hybrid2k) —
-        # the MLP point count drops to ~ split*k_lo + (1-split)*k of k
-        hybrid_bucket_k=os.environ.get("BENCH_BUCKET_K", "0") == "1",
-    )  # 75^2 rays, 300 samples, 4x128, 128^3 grid
+    iters = int(os.environ.get("BENCH_ITERS", "20000"))
+    # SHIPPED defaults — the whole point of the protocol. Only the
+    # schedule length is pinned.
+    cfg = TrainConfig(n_iters=iters)
     dcfg = DatagenConfig(
         limited_size=180.0,
         number_angles=4.0,  # (4+1)^2 + 1 views
@@ -124,87 +108,50 @@ def main():
     )
     vol = make_vessel_volume(res=96)
     ds = generate_dataset(vol, dcfg)
-    from nerf_for_angiography_tpu.ops.sampling import build_sampling_table
 
-    rays = ds.rays._replace(sampling_table=build_sampling_table(ds.rays.weights))
+    # generous wedge alarm for the full run: a healthy 20k protocol is
+    # ~150 s stepping + up to ~600 s cold remote compiles; past 2400 s
+    # something is wedged, not slow
+    _watchdog(2400)
+    res = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
+    signal.alarm(0)
 
-    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
-    import dataclasses
+    t = res.timing
+    steady = float(t.get("steady_rays_per_sec") or 0.0)
+    if steady <= 0.0:  # never compacted (shouldn't happen at defaults)
+        steady = res.rays_per_sec
+    step_ms = 1e3 * cfg.img_sample_size / steady if steady else 0.0
 
-    dense_cfg = dataclasses.replace(cfg, compact_samples=0)
-    steps_per_call = 50
-    dense_chunk = make_train_chunk(model, dense_cfg, 1400.0, 1600.0, steps_per_call)
-
-    # --- phase 1: cold-start dense training until the grid prunes ---
-    t0 = time.perf_counter()
-    for _ in range(60):  # 3k iterations
-        state, metrics, _, _ = dense_chunk(state, rays)
-    float(jnp.sum(metrics["loss/train-pixel-coarse"]))
-    dense_elapsed = time.perf_counter() - t0
-    dense_rate = cfg.img_sample_size * 3000 / dense_elapsed
-
-    choice = choose_compact_mode(
-        cfg, state.grid, rays.origins[:20000], rays.directions[:20000],
-        1400.0, 1600.0,
-    )
-    sys.stderr.write(
-        f"bench: dense phase {dense_rate:.0f} rays/s; grid occupancy "
-        f"{float(jnp.mean(state.grid.binary)):.4f}, compact mode choice "
-        f"{choice} (compact width {cfg.compact_samples})\n"
-    )
-
-    # --- phase 2: steady-state with the auto-compacted stepper (same
-    # mode + adaptive-k selection the training loop makes) ---
-    if choice:
-        k_run = compact_k_for(choice.width, cfg)
-        k_lo_run = (
-            compact_k_lo_for(choice.width_lo, k_run, cfg) if choice.w_lo else 0
-        )
-        use_cfg = dataclasses.replace(
-            cfg, march_mode=choice.mode, compact_samples=k_run,
-            hybrid_w_cap=choice.w_cap, hybrid_w_lo=choice.w_lo,
-            hybrid_k_lo=k_lo_run,
-        )
-    else:
-        use_cfg = dense_cfg
-    chunk = make_train_chunk(model, use_cfg, 1400.0, 1600.0, steps_per_call)
-    for _ in range(2):  # compile + warm
-        state, metrics, _, _ = chunk(state, rays)
-    float(jnp.sum(metrics["loss/train-pixel-coarse"]))
-
-    calls = 10
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, metrics, _, _ = chunk(state, rays)
-    float(jnp.sum(metrics["loss/train-pixel-coarse"]))
-    elapsed = time.perf_counter() - t0
-
-    rays_per_sec = cfg.img_sample_size * calls * steps_per_call / elapsed
-    step_ms = 1e3 * elapsed / (calls * steps_per_call)
-    # Measured-FLOP MFU anchor (benchmarks/MFU.md accounting): per-point MLP
-    # fwd = (3*128 + 4*128^2 + 128) MACs; fwd+bwd ~ 3x fwd; points/step =
-    # batch * compacted width. v5e bf16 peak = 197 TF/s. This is the
-    # self-describing hard number; vs_baseline divides by an ESTIMATED
-    # reference rate (no published figure exists) and is labeled as such.
-    k_eff = use_cfg.compact_samples or use_cfg.depth_samples_per_ray
-    if use_cfg.hybrid_k_lo and use_cfg.hybrid_split > 0:
-        # per-bucket k: the narrow split fraction feeds k_lo samples/ray
-        k_eff = (
-            use_cfg.hybrid_split * use_cfg.hybrid_k_lo
-            + (1 - use_cfg.hybrid_split) * k_eff
-        )
+    # Measured-FLOP MFU anchor (benchmarks/MFU.md accounting): per-point
+    # MLP fwd = (3*128 + 4*128^2 + 128) MACs; fwd+bwd ~ 3x fwd; points/step
+    # = batch * the run's FINAL compacted width (approximate — the loop
+    # re-tunes k over the run). v5e bf16 peak = 197 TF/s.
+    tun = t.get("tuning_final") or {}
+    k_eff = float(tun.get("k") or cfg.compact_samples or cfg.depth_samples_per_ray)
+    if tun.get("k_lo") and cfg.hybrid_split > 0:
+        k_eff = cfg.hybrid_split * tun["k_lo"] + (1 - cfg.hybrid_split) * k_eff
     f = cfg.num_hidden_units
     macs_fwd = 3 * f + cfg.num_layers * f * f + f
     flop_per_step = cfg.img_sample_size * k_eff * macs_fwd * 2 * 3
-    mfu_pct = 100.0 * flop_per_step / (step_ms * 1e-3) / 197e12
+    mfu_pct = (
+        100.0 * flop_per_step / (step_ms * 1e-3) / 197e12 if step_ms else 0.0
+    )
+
     result = {
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(steady, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(steady / BASELINE_RAYS_PER_SEC, 3),
         "baseline": "estimated",  # 5,625 rays / ~60 ms-iter single-GPU guess
+        "protocol": f"production-{iters // 1000}k",
+        "heldout_psnr_db": round(res.last_psnr, 2),
+        "best_vessel_psnr_db": round(res.best_psnr, 2),
+        "e2e_rays_per_sec": round(res.rays_per_sec, 1),
         "step_ms": round(step_ms, 3),
         "mfu_pct": round(mfu_pct, 1),
+        "decay_bounces": t.get("decay_bounces", 0),
+        "wall_s": round(float(t.get("total", 0.0)), 1),
+        "compile_s": round(float(t.get("compile", 0.0)), 1),
     }
     print(json.dumps(result))
 

@@ -607,10 +607,16 @@ def train(
     timing["dense_rays"] = _dense_rays
     timing["pressure_fired"] = tuner.fired
     timing["pressure_muted"] = tuner.muted
+    timing["decay_bounces"] = tuner.decay_bounces
     timing["steady_rays_per_sec"] = (
         _compact_steady_rays / timing["step_compact"]
         if timing["step_compact"] > 0
         else 0.0
+    )
+    # the stepper sizing the run ENDED on (bench.py's MFU accounting; an
+    # approximation — the loop re-tunes k over the run)
+    timing["tuning_final"] = (
+        dataclasses.asdict(tuning) if using_compact else None
     )
     if verbose:
         print(
