@@ -65,6 +65,7 @@ def main(argv=None):
     from nerf_for_angiography_tpu.data.datasets import sdf_datagen_config
     from nerf_for_angiography_tpu.data.volumes import (
         export_ground_truth_vtk,
+        export_transferfunc_vtk,
         load_ct_volume,
         load_sdf_volume,
     )
@@ -116,6 +117,13 @@ def main(argv=None):
     export_ground_truth_vtk(volume, os.path.join(folder, "ground-truth.vtk"))
 
     binary_str = "binary" if cfg.binary else ""
+    # transfer-function side artifact (helpers.py:122-126): the volume's
+    # lattice with transfer-applied scalars; 'binary' suffix + VTK binary
+    # mode when the binary transfer variant was used
+    export_transferfunc_vtk(
+        volume, os.path.join(folder, f"transferfunc{binary_str}.vtk"),
+        binary=cfg.binary,
+    )
     if cfg.number_angles > 0 and cfg.limited_size != 360:
         file_name = f"background-{cfg.limited_size}-{cfg.number_angles}-{list(cfg.center_point)}"
         if cfg.binary:

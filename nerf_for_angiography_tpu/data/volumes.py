@@ -117,6 +117,40 @@ def load_sdf_volume(path: str, scale: float = 1.0, c1: float = 2.0) -> RegularGr
     return RegularGrid.create(vals, origin, spacing, fill_value=float(vals.min()))
 
 
+def export_transferfunc_vtk(
+    volume: RegularGrid, path: str, binary: bool = False
+) -> None:
+    """transferfunc.vtk side artifact (helpers.py:122-126): the volume's own
+    lattice with the transfer-function-applied scalars, rotated -90 deg
+    about x ("so it matches prediction volume") and saved as a
+    StructuredGrid. Our ``RegularGrid`` already holds the transfer-applied,
+    translated values (load_ct_volume/load_sdf_volume), so the export is a
+    lattice + rotation + write. The reference appends 'binary' to the file
+    name when the binary transfer variant was used and writes that one in
+    VTK binary mode (helpers.py:125-126)."""
+    from ..utils.vtk import write_structured_grid
+
+    vals = np.asarray(volume.values, np.float32)
+    nx, ny, nz = vals.shape
+    origin = np.asarray(volume.origin, np.float64)
+    spacing = np.asarray(volume.spacing, np.float64)
+    xs = origin[0] + spacing[0] * np.arange(nx)
+    ys = origin[1] + spacing[1] * np.arange(ny)
+    zs = origin[2] + spacing[2] * np.arange(nz)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    # Rx(-90): (x, y, z) -> (x, z, -y)  (pyvista rotate_x(-90))
+    rx, ry, rz = gx, gz, -gy
+    vtk_pts = np.stack(
+        [rx.transpose(2, 1, 0).ravel(), ry.transpose(2, 1, 0).ravel(),
+         rz.transpose(2, 1, 0).ravel()], -1,
+    )
+    write_structured_grid(
+        path, vtk_pts, (nx, ny, nz),
+        {"scalars": vals.transpose(2, 1, 0).ravel()},
+        binary=binary,
+    )
+
+
 def export_ground_truth_vtk(
     volume: RegularGrid, path: str, extent: float = 75.0, res: int = 200
 ) -> None:

@@ -49,6 +49,7 @@ def test_full_cli_pipeline(tmp_path):
     pngs = os.listdir(os.path.join(folder, "projections"))
     assert any(p.startswith("image-") for p in pngs)
     assert os.path.exists(os.path.join(folder, "ground-truth.vtk"))
+    assert os.path.exists(os.path.join(folder, "transferfunc.vtk"))
 
     # 2. train for a few iterations (small grid/depth for CPU CI)
     run_cli(

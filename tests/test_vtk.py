@@ -66,3 +66,36 @@ def test_bounds():
         write_structured_points(p, vals, origin=(0, 0, 0), spacing=(1, 2, 3))
         g = read_vtk(p)
         assert g.bounds() == (0, 2, 0, 4, 0, 6)
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_export_transferfunc_vtk(tmp_path, binary):
+    """transferfunc.vtk side artifact (reference phantomdata/helpers.py:
+    122-126): the volume lattice rotated -90 deg about x with the
+    transfer-applied scalars, as a StructuredGrid."""
+    import jax.numpy as jnp
+
+    from nerf_for_angiography_tpu.data.volumes import export_transferfunc_vtk
+    from nerf_for_angiography_tpu.ops.interpolation import RegularGrid
+
+    vals = np.random.RandomState(3).rand(4, 5, 6).astype(np.float32)
+    vol = RegularGrid(
+        values=jnp.asarray(vals),
+        origin=jnp.asarray([1.0, 2.0, 3.0]),
+        spacing=jnp.asarray([0.5, 1.0, 2.0]),
+        fill_value=jnp.asarray(0.0),
+    )
+    p = str(tmp_path / ("transferfunc" + ("binary" if binary else "") + ".vtk"))
+    export_transferfunc_vtk(vol, p, binary=binary)
+    g = read_vtk(p)
+    assert g.kind == "structured_grid"
+    assert tuple(g.dimensions) == (4, 5, 6)
+    pts = g.points.reshape(6, 5, 4, 3)  # z-major (VTK x-fastest)
+    # Rx(-90): (x, y, z) -> (x, z, -y); lattice point (i, j, k)
+    i, j, k = 2, 3, 1
+    x = 1.0 + 0.5 * i
+    y = 2.0 + 1.0 * j
+    z = 3.0 + 2.0 * k
+    np.testing.assert_allclose(pts[k, j, i], [x, z, -y], rtol=1e-6)
+    s = np.asarray(g.point_data["scalars"], np.float32).reshape(6, 5, 4)
+    np.testing.assert_allclose(s[k, j, i], vals[i, j, k], rtol=1e-6)
