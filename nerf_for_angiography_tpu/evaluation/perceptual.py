@@ -59,13 +59,27 @@ def _maxpool(x):
     )
 
 
-def vgg16_features(params: Sequence[tuple], x: jnp.ndarray) -> list[jnp.ndarray]:
-    """x (N,H,W,3) normalized -> list of 5 tap feature maps (NHWC)."""
+def _avgpool(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def vgg16_features(
+    params: Sequence[tuple], x: jnp.ndarray, pool: str = "max"
+) -> list[jnp.ndarray]:
+    """x (N,H,W,3) normalized -> list of 5 tap feature maps (NHWC).
+
+    ``pool='avg'`` replaces the max pools with 2x2 average pools — piq's
+    DISTS backbone (piq builds both metrics on VGG16 but passes
+    ``replace_pooling=True`` for DISTS, swapping nn.MaxPool2d for
+    nn.AvgPool2d; LPIPS keeps max pooling)."""
+    pool_fn = _avgpool if pool == "avg" else _maxpool
     feats = []
     h = x
-    for i, ((w, b), (out_c, pool)) in enumerate(zip(params, _VGG16_PLAN)):
-        if pool:
-            h = _maxpool(h)
+    for i, ((w, b), (out_c, pool_here)) in enumerate(zip(params, _VGG16_PLAN)):
+        if pool_here:
+            h = pool_fn(h)
         h = jax.nn.relu(_conv(h, w, b))
         if i in _TAPS:
             feats.append(h)
@@ -122,8 +136,26 @@ class PerceptualMetrics:
         return cls(vgg, lp, al, be, calibrated=False)
 
     @classmethod
-    def from_npz(cls, path: str) -> "PerceptualMetrics":
-        """Load pretrained weights (see tools/convert_perceptual_weights.py)."""
+    def from_npz(cls, path: str, sha256: str | None = None) -> "PerceptualMetrics":
+        """Load pretrained weights (see tools/convert_perceptual_weights.py).
+
+        Integrity: pass ``sha256`` or ship the converter's ``<path>.sha256``
+        sidecar — a mismatched bundle raises instead of silently producing
+        wrong (but plausible) metric values."""
+        import hashlib
+        import os
+
+        expected = sha256
+        sidecar = path + ".sha256"
+        if expected is None and os.path.exists(sidecar):
+            expected = open(sidecar).read().split()[0].strip()
+        if expected:
+            digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+            if digest != expected.lower():
+                raise ValueError(
+                    f"perceptual weight bundle {path} sha256 mismatch: "
+                    f"got {digest}, expected {expected}"
+                )
         z = np.load(path)
         vgg = []
         for i in range(len(_VGG16_PLAN)):
@@ -164,8 +196,10 @@ class PerceptualMetrics:
     def _dists_impl(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         xp = _prep_image(pred)
         xt = _prep_image(target)
-        fp = [xp] + vgg16_features(self.vgg_params, xp)
-        ft = [xt] + vgg16_features(self.vgg_params, xt)
+        # piq's DISTS backbone swaps max pools for average pools
+        # (replace_pooling=True); LPIPS keeps max pooling
+        fp = [xp] + vgg16_features(self.vgg_params, xp, pool="avg")
+        ft = [xt] + vgg16_features(self.vgg_params, xt, pool="avg")
         c1 = c2 = 1e-6
         sim = 0.0
         for f1, f2, a, b in zip(fp, ft, self.dists_alpha, self.dists_beta):

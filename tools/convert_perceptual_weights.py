@@ -55,7 +55,16 @@ def main(out_path: str) -> None:
         print(f"piq DISTS weights unavailable ({e}); skipping")
 
     np.savez(out_path, **arrays)
+    # sidecar checksum: PerceptualMetrics.from_npz verifies it when present
+    # so a corrupted/mismatched bundle fails loudly instead of producing
+    # silently-wrong metric values
+    import hashlib
+
+    digest = hashlib.sha256(open(out_path, "rb").read()).hexdigest()
+    with open(out_path + ".sha256", "w") as f:
+        f.write(digest + "\n")
     print(f"wrote {out_path} with {len(arrays)} arrays")
+    print(f"sha256 {digest} (sidecar: {out_path}.sha256)")
 
 
 if __name__ == "__main__":
