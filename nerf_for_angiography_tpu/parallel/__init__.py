@@ -1,3 +1,9 @@
+from .distributed import (
+    initialize_multihost,
+    is_coordinator,
+    process_local_slice,
+    shard_process_local,
+)
 from .mesh import (
     create_mesh,
     data_sharding,
@@ -10,8 +16,12 @@ from .mesh import (
 __all__ = [
     "create_mesh",
     "data_sharding",
+    "initialize_multihost",
+    "is_coordinator",
     "pad_to_multiple",
+    "process_local_slice",
     "replicate",
     "replicated",
     "shard_leading_axis",
+    "shard_process_local",
 ]
