@@ -64,6 +64,17 @@ BWD_CHAINS = 2
 # w_out (sublane reductions are the forward kernel's profiled soft spot —
 # the backward, which has none, runs ~126 TF/s vs the forward's ~46).
 HEAD = "reduce"
+# inter-layer epilogue precision. The forward kernel is VPU-bound between
+# matmuls (bias add + relu + downcast on a (F, TILE) f32 block per layer —
+# the backward, whose VPU fraction is ~1/3, runs ~126 TF/s vs the
+# forward's ~46). 'bf16' asks the MXU for a bf16 result directly
+# (accumulation stays f32 in-MXU; only the OUTPUT rounds) and runs
+# bias+relu in bf16 — zero elementwise f32 traffic and no downcast op.
+# Numerics: activations were rounded to bf16 immediately after the f32
+# epilogue anyway, so the only delta is the bias add rounding once in
+# bf16 — measured on the TPU before any default flip (tools/
+# bench_mlp_tile.py --epilogues; quality gate in the r4 queue).
+EPILOGUE = "f32"
 _IN_PAD = 8  # input features (3 coords) padded to one f32 sublane tile
 
 
@@ -71,6 +82,9 @@ def _layer(w_ref, b_ref, h):
     """One hidden layer: MXU matmul (f32 accumulate) + bias + relu, output
     bf16. Shared by forward AND backward-recompute so activation bits (and
     the relu masks derived from them) are identical by construction."""
+    if EPILOGUE == "bf16":
+        z = jnp.dot(w_ref[:], h, preferred_element_type=jnp.bfloat16)
+        return jnp.maximum(z + b_ref[:].astype(jnp.bfloat16), jnp.bfloat16(0))
     z = jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32)
     return jnp.maximum(z + b_ref[:], 0.0).astype(jnp.bfloat16)
 

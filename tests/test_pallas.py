@@ -128,6 +128,30 @@ def test_dot_head_matches_reduce(setup, monkeypatch):
         )
 
 
+def test_bf16_epilogue_matches_f32(setup, monkeypatch):
+    """EPILOGUE='bf16' (MXU emits bf16 directly; bias+relu in bf16 — no
+    f32 elementwise traffic between layers) must track the default f32
+    epilogue within bf16 rounding: activations were rounded to bf16 right
+    after the f32 epilogue anyway, so the only delta is one bias-add
+    rounding per layer. Backward recompute shares _layer, so relu masks
+    stay self-consistent."""
+    model, params, plist, x = setup
+    from nerf_for_angiography_tpu.ops.pallas import fused_mlp as fm
+
+    want = np.asarray(fused_mlp_raw(plist, x, True))
+    g_want = jax.grad(lambda p: jnp.sum(fused_mlp_raw(p, x, True)))(plist)
+    monkeypatch.setattr(fm, "EPILOGUE", "bf16")
+    got = np.asarray(fused_mlp_raw(plist, x, True))
+    g_got = jax.grad(lambda p: jnp.sum(fused_mlp_raw(p, x, True)))(plist)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    for (gw, gb), (ww, wb) in zip(g_got, g_want):
+        gw, ww = np.asarray(gw), np.asarray(ww)
+        # weight grads accumulate over 3000 points: compare in scale
+        np.testing.assert_allclose(
+            gw, ww, atol=5e-2 * max(1.0, np.abs(ww).max()), rtol=5e-2
+        )
+
+
 def test_nonmultiple_tile_sizes(setup):
     """P not a multiple of TILE must pad correctly."""
     model, params, plist, _ = setup

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--tiles", default="4096,5120,6144", help="FWD tile sweep")
     ap.add_argument("--chains", default="1,2", help="FWD chains sweep")
     ap.add_argument("--heads", default="reduce", help="e.g. reduce,dot")
+    ap.add_argument(
+        "--epilogues", default="f32",
+        help="inter-layer epilogue sweep, e.g. f32,bf16 (fused_mlp.EPILOGUE)",
+    )
     ap.add_argument("--bwd_tile", type=int, default=6144)
     ap.add_argument("--bwd_chains", type=int, default=2)
     ap.add_argument("--enc", action="store_true", help="also bench enc kernels")
@@ -67,16 +71,19 @@ def main():
 
     fm.BWD_TILE = args.bwd_tile
     fm.BWD_CHAINS = args.bwd_chains
-    for tile, ch, head in itertools.product(
+    for tile, ch, head, epi in itertools.product(
         [int(t) for t in args.tiles.split(",")],
         [int(c) for c in args.chains.split(",")],
         args.heads.split(","),
+        args.epilogues.split(","),
     ):
         if tile % (128 * ch):
             continue
         fm.FWD_TILE = tile
         fm.FWD_CHAINS = ch
         fm.HEAD = head
+        fm.EPILOGUE = epi
+        key = f"tile{tile}c{ch}{head}" + ("" if epi == "f32" else f"-{epi}")
         try:
             t_f = timeit_on_device(
                 lambda i: jnp.sum(fm.fused_mlp_raw(plist, x + i * 1e-6))
@@ -90,15 +97,15 @@ def main():
                     jnp.float32(0.0),
                 )
             )
-            out[f"tile{tile}c{ch}{head}"] = {
+            out[key] = {
                 "fwd_ms": round(t_f * 1e3, 4),
                 "fwdbwd_ms": round(t_fb * 1e3, 4),
                 "fwd_tfs": round(flop_fwd / t_f / 1e12, 1),
                 "fwdbwd_tfs": round(3 * flop_fwd / t_fb / 1e12, 1),
             }
         except Exception as e:  # noqa: BLE001 — report failed tiles
-            out[f"tile{tile}c{ch}{head}"] = {"error": str(e)[:200]}
-        print(json.dumps({f"tile{tile}c{ch}{head}": out[f"tile{tile}c{ch}{head}"]}), file=sys.stderr)
+            out[key] = {"error": str(e)[:200]}
+        print(json.dumps({key: out[key]}), file=sys.stderr)
 
     if args.enc:
         fm.FWD_TILE = fm.BWD_TILE = 4096
