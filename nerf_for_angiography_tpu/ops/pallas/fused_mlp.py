@@ -74,7 +74,8 @@ HEAD = "reduce"
 # epilogue anyway, so the only delta is the bias add rounding once in
 # bf16 — measured on the TPU before any default flip (tools/
 # bench_mlp_tile.py --epilogues; quality gate in the r4 queue).
-EPILOGUE = "f32"
+# PALLAS_EPILOGUE=bf16 overrides for measurement/quality runs.
+EPILOGUE = __import__("os").environ.get("PALLAS_EPILOGUE", "f32")
 _IN_PAD = 8  # input features (3 coords) padded to one f32 sublane tile
 
 
