@@ -585,10 +585,26 @@ def test_video_gif_fallback(tmp_path):
         assert os.path.getsize(w) > 0
 
 
-def test_video_mjpeg_avi_container(tmp_path):
-    """Without ffmpeg, save_video writes a structurally-valid MJPEG AVI
-    (RIFF sizes, idx1 index) whose embedded JPEG frames PIL can decode,
-    plus a browser-previewable GIF alongside."""
+def _parse_boxes(data, start=0, end=None):
+    """Flat ISO-BMFF box scan: [(fourcc, payload_start, payload_end)]."""
+    import struct
+
+    out = []
+    i = start
+    end = len(data) if end is None else end
+    while i + 8 <= end:
+        size = struct.unpack(">I", data[i : i + 4])[0]
+        out.append((data[i + 4 : i + 8], i + 8, i + size))
+        i += size
+    return out
+
+
+def test_video_mjpeg_mp4_container(tmp_path):
+    """Without ffmpeg, save_video writes ``path`` itself as a
+    structurally-valid ISO-BMFF .mp4 (the reference's actual artifact
+    format, helpers.py:47-49): ftyp|mdat|moov box chain, a 'jpeg'
+    (Motion-JPEG) sample entry, stsz sizes + the stco offset locating
+    samples that PIL decodes as JPEG, plus a browser-previewable GIF."""
     import io
     import struct
 
@@ -598,8 +614,54 @@ def test_video_mjpeg_avi_container(tmp_path):
 
     frames = [(np.random.rand(32, 48) * 255).astype(np.uint8) for _ in range(5)]
     p = save_video(frames, str(tmp_path / "rot.mp4"), fps=10)
-    assert p.endswith(".avi")
+    assert p.endswith(".mp4")
     assert (tmp_path / "rot.gif").exists()
+
+    data = open(p, "rb").read()
+    top = _parse_boxes(data)
+    kinds = [b[0] for b in top]
+    assert kinds == [b"ftyp", b"mdat", b"moov"]
+    assert top[-1][2] == len(data)  # box sizes tile the file exactly
+    moov = dict((b[0], b) for b in _parse_boxes(data, top[2][1], top[2][2]))
+    assert b"mvhd" in moov and b"trak" in moov
+    # walk trak -> mdia -> minf -> stbl
+    def child(span, fourcc, skip=0):
+        for b in _parse_boxes(data, span[1] + skip, span[2]):
+            if b[0] == fourcc:
+                return b
+        raise AssertionError(f"{fourcc} not found")
+
+    stbl = child(child(child(moov[b"trak"], b"mdia"), b"minf"), b"stbl")
+    stsd = child(stbl, b"stsd")
+    assert b"jpeg" in data[stsd[1] : stsd[2]]
+    stsz = child(stbl, b"stsz")
+    n = struct.unpack(">I", data[stsz[1] + 8 : stsz[1] + 12])[0]
+    assert n == 5
+    sizes = struct.unpack(f">{n}I", data[stsz[1] + 12 : stsz[1] + 12 + 4 * n])
+    stco = child(stbl, b"stco")
+    off = struct.unpack(">I", data[stco[1] + 8 : stco[1] + 12])[0]
+    # every sample decodes as a JPEG of the right dimensions
+    for sz in sizes:
+        img = Image.open(io.BytesIO(data[off : off + sz]))
+        assert img.size == (48, 32)
+        off += sz
+    assert off == top[1][2]  # samples tile the mdat payload exactly
+
+
+def test_video_mjpeg_avi_container(tmp_path):
+    """The MJPEG/AVI muxer (kept for players without MJPEG-in-MP4
+    support) writes a structurally-valid RIFF whose embedded JPEG frames
+    PIL can decode."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from nerf_for_angiography_tpu.evaluation.video import _mjpeg_avi
+
+    frames = [(np.random.rand(32, 48) * 255).astype(np.uint8) for _ in range(5)]
+    p = str(tmp_path / "rot.avi")
+    _mjpeg_avi(frames, p, fps=10)
 
     data = open(p, "rb").read()
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
