@@ -113,7 +113,13 @@ def main():
     # ~150 s stepping + up to ~600 s cold remote compiles; past 2400 s
     # something is wedged, not slow
     _watchdog(2400)
-    res = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
+    import contextlib
+
+    # stdout carries ONLY the one JSON line (driver contract); the loop's
+    # progress/retune prints go to stderr (tools/retune_stats.py reads
+    # them from the queue logs either way)
+    with contextlib.redirect_stdout(sys.stderr):
+        res = train(cfg, ds.rays, src_pt_z=1500.0, verbose=True)
     signal.alarm(0)
 
     t = res.timing
