@@ -382,6 +382,8 @@ def train(
                         jnp.max(mstack["march/over_k"]),
                         jnp.max(mstack["march/over_k_lo"]),
                         jnp.max(mstack["march/edge_rays"]),
+                        jnp.max(mstack.get("march/ac", jnp.zeros(1, jnp.int32))),
+                        jnp.max(mstack.get("march/ac_lo", jnp.zeros(1, jnp.int32))),
                     ]))
                 ))
         else:
@@ -396,6 +398,8 @@ def train(
                         metrics["march/over_k"],
                         metrics["march/over_k_lo"],
                         metrics["march/edge_rays"],
+                        metrics.get("march/ac", jnp.zeros((), jnp.int32)),
+                        metrics.get("march/ac_lo", jnp.zeros((), jnp.int32)),
                     ]))
                 ))
         jax.block_until_ready(pred_pix)

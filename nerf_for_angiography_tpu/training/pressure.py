@@ -38,7 +38,15 @@ The machine's five invariants:
    steady state oscillates: tools/retune_stats.py measured 8 decay-bounce
    cycles per 20k run (~100 truncating iters each, ~4% of the run, plus
    ~8 avoidable probe marches + stepper compiles) on the r3 queue14 gate
-   runs.
+   runs;
+5b. decays are EVIDENCE-GATED: the march reports the batch's max active
+   count every chunk (march_pressure ac/ac_lo) and a floor only sheds its
+   bucket when the last two display windows' observations fit the smaller
+   size. The backoff alone still paid 3 bounce cycles per 20k flagship
+   run (r4q1 conf_s1: quiet windows happen even while the need persists,
+   because overflow pressure has a low duty cycle); with the gate a decay
+   can only fire when shrinking provably does not truncate the observed
+   batch.
 """
 
 from __future__ import annotations
@@ -108,13 +116,36 @@ class PressureTuner:
     decay_streak: int = 0
     decay_bounces: int = 0  # lifetime count (TrainResult.timing / stats)
     _decay_snapshot: tuple = (0, 0, 0, True)
+    # evidence gate for the decay (invariant 5b): the batch's observed max
+    # active counts, tracked per display window with one window of memory
+    # (current + previous) — a floor never decays below what the batch
+    # measurably used, so a decay can only fire when shrinking provably
+    # won't truncate. Without this the flagship's quiet-but-loaded steady
+    # state still bounced 3 times per 20k run under the pure exponential
+    # backoff (r4q1 conf_s1).
+    ac_window: int = 0
+    ac_prev: int = 0
+    aclo_window: int = 0
+    aclo_prev: int = 0
 
     # -- boundary observation ------------------------------------------------
-    def observe(self, m: int, over: int, over_lo: int, edge: int) -> None:
+    def observe(
+        self,
+        m: int,
+        over: int,
+        over_lo: int,
+        edge: int,
+        ac: int = 0,
+        ac_lo: int = 0,
+    ) -> None:
         """Record the batch's pressure scalars for boundary ``m`` and arm a
         fire unless muted. Zeros overwrite stale values — the scalars are
-        only consumed by a fire, never across boundaries."""
+        only consumed by a fire, never across boundaries. ``ac``/``ac_lo``
+        (max per-ray active counts, march_pressure) accumulate as the
+        decay's evidence window."""
         self.over, self.over_lo, self.edge = over, over_lo, edge
+        self.ac_window = max(self.ac_window, ac)
+        self.aclo_window = max(self.aclo_window, ac_lo)
         if over > 0 or over_lo > 0 or edge > 0:
             self.last_seen = m  # holds the floors up (decay gate)
             if m > self.mute_until:
@@ -270,21 +301,30 @@ class PressureTuner:
             # the grid really did shrink — drop the backoff
             self.decay_streak = 0
         if m - self.last_seen >= self.display_every * (2**self.decay_streak):
-            # a no-op decay (nothing to shed) must not arm bounce
-            # detection — a later fresh fire is growth, not a bounce
-            armed = bool(
-                self.k_floor or self.wcap_floor or self.klo_floor
-                or self.klo_banned
-            )
-            self.k_floor = max(0, self.k_floor - 32)
+            # evidence gate (invariant 5b): a floor only sheds its bucket
+            # when the batch's own observed max active count over the last
+            # two display windows fits the SMALLER size — shedding what the
+            # batch measurably uses guarantees a bounce. All-or-nothing per
+            # bucket so floors stay on their 32-ladder (arbitrary values
+            # would mint new compiled stepper tunings).
+            ev_k = max(self.ac_window, self.ac_prev)
+            ev_klo = max(self.aclo_window, self.aclo_prev)
+            before = (self.k_floor, self.wcap_floor, self.klo_floor,
+                      self.klo_banned)
+            if ev_k <= self.k_floor - 32:
+                self.k_floor = max(0, self.k_floor - 32)
             self.wcap_floor = max(0, self.wcap_floor - 16)
-            self.klo_floor = max(0, self.klo_floor - 32)
+            if ev_klo <= self.klo_floor - 32:
+                self.klo_floor = max(0, self.klo_floor - 32)
             self.klo_banned = False  # quiet window: let the split retry
-            if armed:
+            after = (self.k_floor, self.wcap_floor, self.klo_floor,
+                     self.klo_banned)
+            # a no-op decay (nothing shed) must not arm bounce detection —
+            # a later fresh fire is growth, not a bounce
+            if after != before:
                 self.last_decay = m
-                self._decay_snapshot = (
-                    self.k_floor,
-                    self.wcap_floor,
-                    self.klo_floor,
-                    self.klo_banned,
-                )
+                self._decay_snapshot = after
+        # the evidence window shifts at every display boundary (the caller
+        # invokes this once per boundary while compacted)
+        self.ac_prev, self.ac_window = self.ac_window, 0
+        self.aclo_prev, self.aclo_window = self.aclo_window, 0

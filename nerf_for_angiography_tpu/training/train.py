@@ -734,6 +734,12 @@ def march_pressure(m) -> dict[str, jnp.ndarray]:
                 active region may extend past w_cap/w_lo (hybrid) or the
                 coarse window past the k-window (window mode) —
                 span-truncation pressure.
+    ac/ac_lo  — the batch's MAX per-ray active count this step, k-relative
+                evidence even when nothing truncates: the tuner's floor
+                decay refuses to shed a floor below what the batch
+                measurably used within the display window (invariant 5's
+                evidence gate — a decay that the very next fire must undo
+                is pure churn, ~100 truncating iters per bounce).
 
     The training loop reads these each chunk and grows k/w_cap at the next
     boundary instead of waiting out the re-check cadence: the 4-seed
@@ -742,24 +748,25 @@ def march_pressure(m) -> dict[str, jnp.ndarray]:
     display cadence. Under a sharded batch the reductions ride the mesh's
     collectives like every other metric."""
     if isinstance(m, BucketedRays):
-        over = jnp.maximum(
-            jnp.max(m.hi.active_count) - m.hi.mask.shape[-1], 0
-        )
-        over_lo = jnp.maximum(
-            jnp.max(m.lo.active_count) - m.lo.mask.shape[-1], 0
-        )
+        ac = jnp.max(m.hi.active_count)
+        ac_lo = jnp.max(m.lo.active_count)
+        over = jnp.maximum(ac - m.hi.mask.shape[-1], 0)
+        over_lo = jnp.maximum(ac_lo - m.lo.mask.shape[-1], 0)
         edges = jnp.sum(m.lo.edge_active) + jnp.sum(m.hi.edge_active)
         return {
             "march/over_k": over.astype(jnp.int32),
             "march/over_k_lo": over_lo.astype(jnp.int32),
             "march/edge_rays": edges.astype(jnp.int32),
+            "march/ac": ac.astype(jnp.int32),
+            "march/ac_lo": ac_lo.astype(jnp.int32),
         }
+    ac = jnp.max(m.active_count)
     return {
-        "march/over_k": jnp.maximum(
-            jnp.max(m.active_count) - m.mask.shape[-1], 0
-        ).astype(jnp.int32),
+        "march/over_k": jnp.maximum(ac - m.mask.shape[-1], 0).astype(jnp.int32),
         "march/over_k_lo": jnp.zeros((), jnp.int32),
         "march/edge_rays": jnp.sum(m.edge_active).astype(jnp.int32),
+        "march/ac": ac.astype(jnp.int32),
+        "march/ac_lo": jnp.zeros((), jnp.int32),
     }
 
 

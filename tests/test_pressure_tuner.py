@@ -354,6 +354,43 @@ def test_ban_lift_then_recollapse_is_a_bounce():
     assert not tuner.klo_banned
 
 
+def test_evidence_gate_blocks_decay_the_batch_still_needs():
+    """Invariant 5b: the batch's observed max active count (march ac)
+    holds a floor up through quiet windows — a decay below what the batch
+    measurably used would bounce by construction. The r4q1 conf_s1 run
+    still paid 3 bounce cycles under the pure backoff because overflow
+    pressure has a low duty cycle (quiet windows with a loaded batch)."""
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor = 160
+    # quiet chunks (no overflow) but the batch USES ~155 of k=160
+    tuner.observe(100, over=0, over_lo=0, edge=0, ac=155)
+    tuner.observe(150, over=0, over_lo=0, edge=0, ac=140)
+    tuner.decay_if_quiet(500)
+    assert tuner.k_floor == 160  # 155 > 160-32: decay refused
+    assert tuner.last_decay < 0  # nothing shed -> bounce detection unarmed
+
+    # the batch's need genuinely drops (grid pruned): decay resumes.
+    # evidence memory is two windows, so the stale 155 gates one more
+    # boundary, then the floor sheds.
+    tuner.observe(600, over=0, over_lo=0, edge=0, ac=90)
+    tuner.decay_if_quiet(1000)
+    assert tuner.k_floor == 160  # prev window still remembers 155
+    tuner.observe(1100, over=0, over_lo=0, edge=0, ac=90)
+    tuner.decay_if_quiet(1500)
+    assert tuner.k_floor == 128  # evidence 90 <= 160-32
+
+
+def test_evidence_gate_is_per_floor():
+    tuner = PressureTuner(display_every=CFG.display_every)
+    tuner.k_floor, tuner.klo_floor, tuner.wcap_floor = 160, 64, 176
+    # hi bucket loaded, lo bucket slack
+    tuner.observe(100, over=0, over_lo=0, edge=0, ac=150, ac_lo=20)
+    tuner.decay_if_quiet(500)
+    assert tuner.k_floor == 160  # gated by ac=150
+    assert tuner.klo_floor == 32  # 20 <= 64-32: sheds
+    assert tuner.wcap_floor == 160  # no width evidence: ungated ladder
+
+
 def test_edge_pressure_grows_w_cap_by_one_bucket():
     tuner = PressureTuner(display_every=CFG.display_every)
     t = Tuning("hybrid", 96, 160, 0, 0)
