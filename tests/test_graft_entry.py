@@ -17,7 +17,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_fresh_process():
+    """Marked slow (383 s: a second full flagship-shape compile over the
+    8-device mesh): the driver itself runs EXACTLY this calling convention
+    every round and records MULTICHIP_r0N.json, so the fast suite keeps
+    only the in-process variant; this one guards the self-configuration
+    path (env scrubbing) for full-suite runs."""
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # driver gives us nothing; we must self-set
     env.pop("JAX_PLATFORMS", None)
