@@ -60,6 +60,7 @@ def test_march_rays_active_count_is_dense_mask_sum():
     p = march_pressure(m)
     assert int(p["march/over_k"]) == int(counts.max()) - k
     assert int(p["march/edge_rays"]) == 0
+    assert int(p["march/ac"]) == int(counts.max())
 
 
 def test_march_rays_no_truncation_zero_pressure():
@@ -71,6 +72,10 @@ def test_march_rays_no_truncation_zero_pressure():
     p = march_pressure(m)
     assert int(p["march/over_k"]) == 0
     assert int(p["march/over_k_lo"]) == 0
+    # ac reports the batch's max active count even with zero overflow —
+    # the decay's evidence (pressure.py invariant 5b)
+    assert int(p["march/ac"]) == int(np.asarray(dense.mask).sum(-1).max())
+    assert int(p["march/ac_lo"]) == 0
 
 
 def test_hybrid_edge_fires_when_active_region_outruns_w_cap():
