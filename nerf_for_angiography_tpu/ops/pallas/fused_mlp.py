@@ -67,11 +67,13 @@ HEAD = "reduce"
 # inter-layer epilogue precision. The forward kernel is VPU-bound between
 # matmuls (bias add + relu + downcast on a (F, TILE) f32 block per layer —
 # the backward, whose VPU fraction is ~1/3, runs ~126 TF/s vs the
-# forward's ~46). 'bf16' asks the MXU for a bf16 result directly
-# (accumulation stays f32 in-MXU; only the OUTPUT rounds) and runs
-# bias+relu in bf16 — zero elementwise f32 traffic and no downcast op.
+# forward's ~46). 'bf16' downcasts the f32 MXU accumulator ONCE and runs
+# bias+relu in bf16, halving the VPU register/lane traffic for the
+# epilogue. (Asking the MXU for a bf16 result directly is NOT possible:
+# Mosaic rejects `preferred_element_type=bfloat16` with "'tpu.matmul' op
+# Expected matmul acc to be 32-bit" — measured r4q2 mlp_epi.)
 # Numerics: activations were rounded to bf16 immediately after the f32
-# epilogue anyway, so the only delta is the bias add rounding once in
+# epilogue anyway, so the only delta is the bias add + relu rounding in
 # bf16 — measured on the TPU before any default flip (tools/
 # bench_mlp_tile.py --epilogues; quality gate in the r4 queue).
 # PALLAS_EPILOGUE=bf16 overrides for measurement/quality runs.
@@ -84,8 +86,11 @@ def _layer(w_ref, b_ref, h):
     bf16. Shared by forward AND backward-recompute so activation bits (and
     the relu masks derived from them) are identical by construction."""
     if EPILOGUE == "bf16":
-        z = jnp.dot(w_ref[:], h, preferred_element_type=jnp.bfloat16)
-        return jnp.maximum(z + b_ref[:].astype(jnp.bfloat16), jnp.bfloat16(0))
+        z = jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32)
+        return jnp.maximum(
+            z.astype(jnp.bfloat16) + b_ref[:].astype(jnp.bfloat16),
+            jnp.bfloat16(0),
+        )
     z = jnp.dot(w_ref[:], h, preferred_element_type=jnp.float32)
     return jnp.maximum(z + b_ref[:], 0.0).astype(jnp.bfloat16)
 
