@@ -39,7 +39,18 @@ def timeit_on_device(body, n_inner=30, warmup=1, iters=4):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--points", type=int, default=450_000)
+    ap.add_argument(
+        "--points", default="450000",
+        help="comma list of point counts (multi-count fits fixed-vs-marginal "
+        "cost: fwd time at r4q2 was 1.21 ms @450k but 1.65 ms @900k — "
+        "~0.76 ms/call does NOT scale with P)",
+    )
+    ap.add_argument(
+        "--raw", action="store_true",
+        help="also time _run_fwd on PRE-padded feature-major input (no "
+        "_pad_points transpose, no _prep_params, no output slice) — "
+        "isolates the kernel from its layout wrapper",
+    )
     ap.add_argument("--tiles", default="4096,5120,6144", help="FWD tile sweep")
     ap.add_argument("--chains", default="1,2", help="FWD chains sweep")
     ap.add_argument("--heads", default="reduce", help="e.g. reduce,dot")
@@ -60,18 +71,16 @@ def main():
     cfg = CPPNConfig(num_early_layers=4, num_filters=128)
     model, params = init_cppn(cfg, jax.random.PRNGKey(0))
     plist = fm.cppn_params_to_list(params, 4)
-    x = jax.random.uniform(
-        jax.random.PRNGKey(1), (args.points, 3), minval=-100.0, maxval=100.0
-    )
     macs = 3 * 128 + 4 * 128 * 128 + 128
-    flop_fwd = args.points * macs * 2
     out = {}
 
     import itertools
 
+    point_counts = [int(p) for p in str(args.points).split(",")]
     fm.BWD_TILE = args.bwd_tile
     fm.BWD_CHAINS = args.bwd_chains
-    for tile, ch, head, epi in itertools.product(
+    for n_pts, tile, ch, head, epi in itertools.product(
+        point_counts,
         [int(t) for t in args.tiles.split(",")],
         [int(c) for c in args.chains.split(",")],
         args.heads.split(","),
@@ -83,7 +92,13 @@ def main():
         fm.FWD_CHAINS = ch
         fm.HEAD = head
         fm.EPILOGUE = epi
+        x = jax.random.uniform(
+            jax.random.PRNGKey(1), (n_pts, 3), minval=-100.0, maxval=100.0
+        )
+        flop_fwd = n_pts * macs * 2
         key = f"tile{tile}c{ch}{head}" + ("" if epi == "f32" else f"-{epi}")
+        if len(point_counts) > 1:
+            key = f"p{n_pts}-{key}"
         try:
             t_f = timeit_on_device(
                 lambda i: jnp.sum(fm.fused_mlp_raw(plist, x + i * 1e-6))
@@ -103,12 +118,29 @@ def main():
                 "fwd_tfs": round(flop_fwd / t_f / 1e12, 1),
                 "fwdbwd_tfs": round(3 * flop_fwd / t_fb / 1e12, 1),
             }
+            if args.raw:
+                # kernel-only: pre-padded (8, P_pad) feature-major input,
+                # pre-transposed params; per-iter work = one lane-friendly
+                # elementwise add + the pallas_call + the (1, P_pad) sum
+                flat, n_hidden, f = fm._prep_params(plist)
+                x_pad, _ = fm._pad_points(x, tile)
+                t_r = timeit_on_device(
+                    lambda i: jnp.sum(
+                        fm._run_fwd(flat, n_hidden, f, x_pad + i * 1e-6, False)
+                    )
+                )
+                out[key]["raw_fwd_ms"] = round(t_r * 1e3, 4)
+                out[key]["raw_fwd_tfs"] = round(flop_fwd / t_r / 1e12, 1)
         except Exception as e:  # noqa: BLE001 — report failed tiles
             out[key] = {"error": str(e)[:200]}
         print(json.dumps({key: out[key]}), file=sys.stderr)
 
     if args.enc:
         fm.FWD_TILE = fm.BWD_TILE = 4096
+        x = jax.random.uniform(
+            jax.random.PRNGKey(1), (point_counts[0], 3), minval=-100.0,
+            maxval=100.0,
+        )
         L = 5
         ecfg = CPPNConfig(
             num_early_layers=4, num_filters=128, pos_enc="fourier",
