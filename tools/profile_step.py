@@ -64,6 +64,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="lattice")
     ap.add_argument("--k", type=int, default=96)
+    # two-bucket (hybrid2k) knobs; defaults = the r4q2 bench run's steady
+    # tuning (retune log: k=96, w_cap=176, w_lo=112, k_lo=80 after the
+    # grid prunes)
+    ap.add_argument("--k_lo", type=int, default=80)
+    ap.add_argument("--w_lo", type=int, default=112)
+    ap.add_argument("--w_cap", type=int, default=176)
+    ap.add_argument("--split", type=float, default=0.75)
     ap.add_argument("--rays", type=int, default=5625)
     ap.add_argument("--train_iters", type=int, default=3000)
     args = ap.parse_args()
@@ -81,7 +88,22 @@ def main():
         density_raw, make_train_chunk, make_train_step,
     )
 
-    cfg = TrainConfig(march_mode=args.mode, compact_samples=args.k)
+    # 'hybrid2k' is spelled march_mode='hybrid' + hybrid_k_lo>0 in the
+    # loop's stepper cfg (training/loop.py::_compact_entry)
+    cfg = TrainConfig(
+        march_mode="hybrid" if args.mode == "hybrid2k" else args.mode,
+        compact_samples=args.k,
+        **(
+            {
+                "hybrid_w_cap": args.w_cap,
+                "hybrid_w_lo": args.w_lo,
+                "hybrid_k_lo": args.k_lo,
+                "hybrid_split": args.split,
+            }
+            if args.mode == "hybrid2k"
+            else {}
+        ),
+    )
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
         sample_outside=100.0, stratified_depths=False,
@@ -119,6 +141,13 @@ def main():
         march = lambda g, oo: march_rays_hybrid(
             g, oo, d, n, near, far, k=args.k, occ_stride=stride,
             aabb_extent=2 * cfg.outside)
+    elif args.mode == "hybrid2k":
+        from nerf_for_angiography_tpu.ops.occupancy import march_rays_hybrid2k
+
+        march = lambda g, oo: march_rays_hybrid2k(
+            g, oo, d, n, near, far, k=args.k, k_lo=args.k_lo,
+            w_lo=args.w_lo, w_cap=args.w_cap, split=args.split,
+            occ_stride=stride, aabb_extent=2 * cfg.outside)
     else:
         march = lambda g, oo: march_rays(
             g, oo, d, n, near, far,
@@ -126,10 +155,17 @@ def main():
             occ_stride=stride)
     print("stage: march", file=sys.stderr)
     grid = state.grid
-    march_i = lambda i: jnp.sum(march(grid, o + i * 1e-6).mask)
+    if args.mode == "hybrid2k":
+        march_i = lambda i: (
+            lambda m: jnp.sum(m.lo.mask) + jnp.sum(m.hi.mask)
+        )(march(grid, o + i * 1e-6))
+    else:
+        march_i = lambda i: jnp.sum(march(grid, o + i * 1e-6).mask)
     results["march_ms"] = timeit_on_device(march_i) * 1e3
+    from nerf_for_angiography_tpu.training.train import _flat_positions
+
     m = jax.jit(march)(state.grid, o)
-    pts = m.positions.reshape(-1, 3)
+    pts = _flat_positions(m)
 
     # --- MLP on the compacted points ---
     fwd = jax.jit(lambda p, x: density_raw(model, p, x, 0.0, cfg.mlp_backend))
@@ -184,7 +220,12 @@ def main():
     f = cfg.num_hidden_units
     n_hidden = cfg.num_layers
     macs_pt = 3 * f + n_hidden * f * f + f
-    flop_step = cfg.img_sample_size * args.k * macs_pt * 2 * 3  # fwd+bwd~3x
+    eff_k = (
+        args.split * args.k_lo + (1 - args.split) * args.k
+        if args.mode == "hybrid2k"
+        else args.k
+    )
+    flop_step = cfg.img_sample_size * eff_k * macs_pt * 2 * 3  # fwd+bwd~3x
     results["mlp_flop_per_step"] = flop_step
     results["mfu_vs_197tf"] = (
         flop_step / (results["full_step_ms"] / 1e3) / 197e12
