@@ -1059,6 +1059,12 @@ class BucketedRays(NamedTuple):
     lo: MarchedRays  # (R_lo, k_lo)
     hi: MarchedRays  # (R_hi, k)
     inv: jnp.ndarray  # (R,) int32: input ray i came from concat row inv[i]
+    # the span-sort permutation (concat row j is input ray perm[j]):
+    # lets callers recompute per-bucket quantities from the INPUT-order
+    # origins/directions (e.g. the feature-major MLP input,
+    # training/train.py::_flat_positions_fm) without re-deriving it as
+    # argsort(inv)
+    perm: jnp.ndarray | None = None
 
 
 def march_rays_hybrid2k(
@@ -1136,7 +1142,7 @@ def march_rays_hybrid2k(
         grid, o_s[cut:], d_s[cut:], st_s[cut:], ah_s[cut:],
         n_samples, near, far, k, w_cap, occ_stride,
     )
-    return BucketedRays(lo=m_lo, hi=m_hi, inv=jnp.argsort(perm))
+    return BucketedRays(lo=m_lo, hi=m_hi, inv=jnp.argsort(perm), perm=perm)
 
 
 def compact_rays(m: MarchedRays, k: int) -> MarchedRays:

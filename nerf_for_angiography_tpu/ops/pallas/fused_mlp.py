@@ -396,6 +396,73 @@ fused_mlp_raw.defvjp(lambda p, x, i: _fused_fwd(p, x, i), _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Feature-major entry: skips the (P, 3) -> (8, P) relayout entirely.
+#
+# fused_mlp_raw's wrapper transposes every point batch before the kernel
+# (_pad_points) and transposes dx back after it — layout work XLA executes
+# at 3-of-128 lane occupancy. When the CALLER can build its points
+# feature-major in the first place (the training hot path recomputes
+# positions affinely from compacted t values, training/train.py — emitting
+# (3, R, k) instead of (R, k, 3) is the same broadcast with axes swapped),
+# this entry takes the (8, P) block directly: rows 0-2 are the coords,
+# rows 3-7 are DON'T-CARE (W_in columns 3-7 are zero by construction in
+# _prep_params, so any finite values contribute nothing). The gradient is
+# returned in the same (8, P) orientation; rows 3-7 of dx are zero for the
+# same reason.
+# ---------------------------------------------------------------------------
+
+
+def _pad_lanes(x_fm: jnp.ndarray, tile: int) -> tuple[jnp.ndarray, int]:
+    """(8, P) f32 -> (8, P_pad), P_pad a multiple of tile (lane-axis pad —
+    no relayout, unlike _pad_points' transpose)."""
+    p = x_fm.shape[1]
+    p_pad = ((p + tile - 1) // tile) * tile
+    if p_pad == p:
+        return x_fm, p
+    return jnp.pad(x_fm, ((0, 0), (0, p_pad - p))), p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_mlp_raw_fm(params, x_fm, interpret=False):
+    """Feature-major fused MLP: x_fm (8, P) f32 -> raw density (P,) f32.
+
+    Rows 0-2 of ``x_fm`` are the point coordinates; rows 3-7 are ignored
+    (finite values required). Same params layout as fused_mlp_raw."""
+    out, _ = _fused_fwd_fm(params, x_fm, interpret)
+    return out
+
+
+def _fused_fwd_fm(params, x_fm, interpret):
+    flat, n_hidden, f = _prep_params(params)
+    x_pad, p = _pad_lanes(x_fm, FWD_TILE)
+    raw = _run_fwd(flat, n_hidden, f, x_pad, interpret)
+    return raw[0, :p], (params, x_fm)
+
+
+def _fused_bwd_fm(interpret, res, g):
+    params, x_fm = res
+    flat, n_hidden, f = _prep_params(params)
+    x_pad, p = _pad_lanes(x_fm, BWD_TILE)
+    g_pad = jnp.zeros((1, x_pad.shape[1]), jnp.float32).at[0, :p].set(g)
+    *grads_flat, dx_fm = _run_bwd(flat, n_hidden, f, x_pad, g_pad, interpret)
+
+    (w_in, b_in), *hidden, (w_out, b_out) = params
+    gi = iter(grads_flat)
+    dw_in_t = next(gi)  # (F, 8)
+    db_in = next(gi).reshape(b_in.shape)
+    out = [(dw_in_t[:, :3].T, db_in)]
+    for w, b in hidden:
+        out.append((next(gi).T, next(gi).reshape(b.shape)))
+    dw_out = next(gi).reshape(w_out.shape)
+    db_out = next(gi).reshape(b_out.shape)
+    out.append((dw_out, db_out))
+    return (out, dx_fm[:, : x_fm.shape[1]].astype(x_fm.dtype))
+
+
+fused_mlp_raw_fm.defvjp(lambda p, x, i: _fused_fwd_fm(p, x, i), _fused_bwd_fm)
+
+
+# ---------------------------------------------------------------------------
 # Encoded variants: fourier / BARF positional encodings fused in-kernel.
 #
 # The flax encode (models/cppn.py::_pos_enc, ref CPPN.py:207-234) maps

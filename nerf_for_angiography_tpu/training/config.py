@@ -238,6 +238,13 @@ class TrainConfig:
     # 'xla' = flax path, 'auto' = pallas on TPU when the model config is
     # eligible (pos_enc 'none', relu, no view branch), else xla.
     mlp_backend: str = "auto"
+    # feed the fused kernel FEATURE-MAJOR (3, P) positions recomputed
+    # affinely from the march's compacted t values, skipping the
+    # (P, 3) -> (8, P) input relayout its wrapper otherwise pays per step
+    # (training/train.py::_raw_for / _flat_positions_fm). Numerically the
+    # midpoint recompute matches the march's t_mid to 1 ulp f32. Default
+    # off until the TPU A/B (r4 queue) prices the relayout.
+    feature_major_mlp: bool = False
 
     seed: int = 0
 
@@ -329,6 +336,11 @@ def parse_train_args(argv=None) -> TrainConfig:
         help="density-MLP backend (auto = fused Pallas kernel on TPU)",
     )
     p.add_argument(
+        "--feature_major_mlp", default=None, action="store_true",
+        help="feed the fused MLP feature-major positions (skips the "
+        "(P,3)->(8,P) input relayout on the Pallas path)",
+    )
+    p.add_argument(
         "--sampling_impl", default=None, choices=["overdraw", "gumbel"],
         help="weighted ray sampler (overdraw = fast table sampler; "
         "gumbel = exact pandas successive-draw semantics)",
@@ -399,6 +411,8 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["march_mode"] = a.march_mode
     if a.mlp_backend:
         kw["mlp_backend"] = a.mlp_backend
+    if a.feature_major_mlp:
+        kw["feature_major_mlp"] = True
     if a.sampling_impl:
         kw["sampling_impl"] = a.sampling_impl
     if a.reference_strict:

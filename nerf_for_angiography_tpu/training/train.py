@@ -247,6 +247,35 @@ def density_raw(
     return model.apply(params, pts, barf_alpha=barf_alpha)[..., -1]
 
 
+def density_raw_fm(
+    model: CPPN, params, pts_fm: jnp.ndarray, barf_alpha=0.0,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """density_raw for a FEATURE-MAJOR (3, P) point block.
+
+    On the fused-kernel path (pallas-eligible pos_enc='none' model on TPU)
+    this feeds fused_mlp_raw_fm directly — no (P, 3) -> (8, P) relayout
+    anywhere. Every other configuration transposes back and defers to
+    density_raw (correctness fallback; callers only build feature-major
+    input when cfg.feature_major_mlp asks for it)."""
+    use = False
+    if backend in ("pallas", "auto") and _pallas_eligible(model):
+        if model.config.pos_enc == "none":
+            use = backend == "pallas" or jax.devices()[0].platform in (
+                "tpu",
+                "axon",
+            )
+    if use:
+        from ..ops.pallas.fused_mlp import cppn_params_to_list, fused_mlp_raw_fm
+
+        os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+        c = model.config
+        plist = cppn_params_to_list(params, c.num_early_layers)
+        x8 = jnp.pad(pts_fm * c.input_scale, ((0, 8 - pts_fm.shape[0]), (0, 0)))
+        return fused_mlp_raw_fm(plist, x8)
+    return density_raw(model, params, pts_fm.T, barf_alpha, backend)
+
+
 def _sigma_fn(model: CPPN, params, barf_alpha, backend: str = "auto"):
     """Density field closure: sigmoid of the 1-channel MLP output
     (nerf_helpers_acc.py:22-24, 66-70)."""
@@ -630,6 +659,33 @@ def _flat_positions(m) -> jnp.ndarray:
     return m.positions.reshape(-1, 3)
 
 
+def _flat_positions_fm(m, origins, directions) -> jnp.ndarray:
+    """Sample positions of a march result as one FEATURE-MAJOR (3, P)
+    block — the layout ops/pallas/fused_mlp.py::fused_mlp_raw_fm consumes
+    without the (P, 3) -> (8, P) relayout fused_mlp_raw's wrapper pays.
+
+    Positions are recomputed affinely from the march's compacted t values
+    (the same o + d * t_mid the march materializes point-major); inside
+    one jitted step XLA dead-code-eliminates the unused (R, k, 3)
+    ``m.positions`` array. Midpoint recompute (t_starts + t_ends) / 2
+    equals the march's t_mid up to 1 ulp f32."""
+
+    def fm(mm, o, d):
+        t_mid = (mm.t_starts + mm.t_ends) * 0.5  # (R, k)
+        pts = o.T[:, :, None] + d.T[:, :, None] * t_mid[None]  # (3, R, k)
+        return pts.reshape(3, -1)
+
+    if isinstance(m, BucketedRays):
+        o_s = jnp.take(origins, m.perm, axis=0)
+        d_s = jnp.take(directions, m.perm, axis=0)
+        cut = m.lo.t_starts.shape[0]
+        return jnp.concatenate(
+            [fm(m.lo, o_s[:cut], d_s[:cut]), fm(m.hi, o_s[cut:], d_s[cut:])],
+            axis=1,
+        )
+    return fm(m, origins, directions)
+
+
 def _bucket_sigmas(m, raw: jnp.ndarray):
     """Split the flat MLP output back into per-bucket (R_b, k_b) sigma
     blocks: [(marched, sigma), ...] — one entry for a rectangular march."""
@@ -641,6 +697,21 @@ def _bucket_sigmas(m, raw: jnp.ndarray):
             (m.hi, sig[n_lo:].reshape(m.hi.mask.shape)),
         ]
     return [(m, jax.nn.sigmoid(raw).reshape(m.mask.shape))]
+
+
+def _raw_for(model, params, m, origins, directions, cfg, barf_alpha):
+    """MLP raw densities for a march result — feature-major when
+    cfg.feature_major_mlp asks for it (skips the (P, 3) -> (8, P) input
+    relayout on the fused-kernel path), point-major otherwise. Output is
+    the same flat (P,) array in bucket-concatenation order either way."""
+    if getattr(cfg, "feature_major_mlp", False):
+        return density_raw_fm(
+            model, params, _flat_positions_fm(m, origins, directions),
+            barf_alpha, cfg.mlp_backend,
+        )
+    return density_raw(
+        model, params, _flat_positions(m), barf_alpha, cfg.mlp_backend
+    )
 
 
 def _keep_mask(m, sigma: jnp.ndarray, cfg: TrainConfig) -> tuple:
@@ -696,9 +767,7 @@ def render_rays(
     BucketedRays) for truncation-pressure accounting (march_pressure).
     """
     m = _march_for(cfg, grid, origins, directions, near, far)
-    raw = density_raw(
-        model, params, _flat_positions(m), barf_alpha, cfg.mlp_backend
-    )
+    raw = _raw_for(model, params, m, origins, directions, cfg, barf_alpha)
     if isinstance(m, BucketedRays):
         parts, sigmas, keeps = [], [], []
         for mb, sb in _bucket_sigmas(m, raw):
@@ -786,9 +855,7 @@ def render_rays_with_binary(
     differ only in zeroing sub-threshold densities, visualization.py:343-352
     — the reference also reuses its predictions tensor there)."""
     m = _march_for(cfg, grid, origins, directions, near, far)
-    raw = density_raw(
-        model, params, _flat_positions(m), barf_alpha, cfg.mlp_backend
-    )
+    raw = _raw_for(model, params, m, origins, directions, cfg, barf_alpha)
     parts, bparts = [], []
     for mb, sigma in _bucket_sigmas(m, raw):
         dists, keep = _keep_mask(mb, sigma, cfg)

@@ -162,6 +162,55 @@ def test_nonmultiple_tile_sizes(setup):
         np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
 
 
+def test_feature_major_entry_matches_pointmajor(setup):
+    """fused_mlp_raw_fm on an (8, P) block == fused_mlp_raw on (P, 3),
+    forward AND gradients (params + input, with dx back in (8, P)
+    orientation and rows 3-7 zero)."""
+    from nerf_for_angiography_tpu.ops.pallas.fused_mlp import fused_mlp_raw_fm
+
+    model, params, plist, x = setup
+    x_fm = jnp.zeros((8, x.shape[0]), jnp.float32).at[:3].set(x.T)
+    # rows 3-7 are don't-care: poison them to prove it
+    x_fm = x_fm.at[3:].set(7.25)
+
+    want = np.asarray(fused_mlp_raw(plist, x, True))
+    got = np.asarray(fused_mlp_raw_fm(plist, x_fm, True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def loss_pm(pl_, xx):
+        return jnp.mean(jax.nn.sigmoid(fused_mlp_raw(pl_, xx, True)) ** 2)
+
+    def loss_fm(pl_, xf):
+        return jnp.mean(jax.nn.sigmoid(fused_mlp_raw_fm(pl_, xf, True)) ** 2)
+
+    gp_pm, gx_pm = jax.grad(loss_pm, argnums=(0, 1))(plist, x)
+    gp_fm, gx_fm = jax.grad(loss_fm, argnums=(0, 1))(plist, x_fm)
+    for (dw_a, db_a), (dw_b, db_b) in zip(gp_pm, gp_fm):
+        np.testing.assert_allclose(
+            np.asarray(dw_a), np.asarray(dw_b), atol=1e-6, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(db_a), np.asarray(db_b), atol=1e-6, rtol=1e-5
+        )
+    gx_fm = np.asarray(gx_fm)
+    np.testing.assert_allclose(
+        gx_fm[:3].T, np.asarray(gx_pm), atol=1e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(gx_fm[3:], 0.0, atol=0.0)
+
+
+def test_feature_major_nonmultiple_tile(setup):
+    from nerf_for_angiography_tpu.ops.pallas.fused_mlp import fused_mlp_raw_fm
+
+    model, params, plist, _ = setup
+    for p in (1, 100, 2049):
+        x = jax.random.normal(jax.random.PRNGKey(p), (p, 3))
+        x_fm = jnp.zeros((8, p), jnp.float32).at[:3].set(x.T)
+        got = np.asarray(fused_mlp_raw_fm(plist, x_fm, True))
+        want = np.asarray(model.apply(params, x))[:, 0]
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
 # --- encoded variants: fourier / BARF fused in-kernel ----------------------
 
 import dataclasses

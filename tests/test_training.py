@@ -632,3 +632,25 @@ def test_render_rays_hybrid2k_matches_hybrid_when_lossless(sphere_data):
     np.testing.assert_allclose(
         np.asarray(pxk), np.asarray(px1), atol=1e-5
     )
+
+    # feature-major MLP input path: same pixels AND same gradients as the
+    # point-major default, on both the rectangular and the bucketed march
+    # (positions recomputed from compacted t midpoints — 1 ulp tolerance)
+    import dataclasses
+
+    for cfg in (cfg1, cfgk):
+        cfg_fm = dataclasses.replace(cfg, feature_major_mlp=True)
+
+        def loss(p, c):
+            px, _, _ = render_rays(model, p, g, o, d, c, 1400.0, 1600.0)
+            return jnp.mean((px - 0.5) ** 2)
+
+        l_pm, g_pm = jax.value_and_grad(loss)(state.params, cfg)
+        l_fm, g_fm = jax.value_and_grad(loss)(state.params, cfg_fm)
+        np.testing.assert_allclose(float(l_fm), float(l_pm), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4
+            ),
+            g_fm, g_pm,
+        )
