@@ -34,7 +34,7 @@ cp "$RUN/df-metrics.csv" "$RUN"/metrics-summary.txt "$OUT/" 2>/dev/null || true
 cp "$RUN"/heatmap-*.png "$OUT/" 2>/dev/null || true
 cp -r "$RUN/jsonData" "$OUT/jsonData"
 mkdir -p "$OUT/projections"
-cp "$RUN"/projections/*-rotation-*.gif "$RUN"/projections/*-rotation-*.avi \
+cp "$RUN"/projections/*-rotation-*.gif "$RUN"/projections/*-rotation-*.mp4 \
     "$OUT/projections/" 2>/dev/null || true
 # a few example projection PNGs (not the whole sweep)
 ls "$RUN"/projections/image-*.png 2>/dev/null | head -3 | xargs -r -I{} cp {} "$OUT/projections/"
