@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--split", type=float, default=0.75)
     ap.add_argument("--rays", type=int, default=5625)
     ap.add_argument("--train_iters", type=int, default=3000)
+    ap.add_argument(
+        "--feature_major", action="store_true",
+        help="A/B: feed the MLP feature-major positions (cfg.feature_major_mlp)",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -103,6 +107,7 @@ def main():
             if args.mode == "hybrid2k"
             else {}
         ),
+        feature_major_mlp=args.feature_major,
     )
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -162,10 +167,21 @@ def main():
     else:
         march_i = lambda i: jnp.sum(march(grid, o + i * 1e-6).mask)
     results["march_ms"] = timeit_on_device(march_i) * 1e3
-    from nerf_for_angiography_tpu.training.train import _flat_positions
+    from nerf_for_angiography_tpu.training.train import (
+        _flat_positions, _flat_positions_fm, density_raw_fm,
+    )
 
     m = jax.jit(march)(state.grid, o)
     pts = _flat_positions(m)
+    if args.feature_major:
+        pts_fm = jax.jit(
+            lambda mm: _flat_positions_fm(mm, o, d)
+        )(m)
+        results["mlp_fwd_fm_ms"] = timeit_on_device(
+            lambda i: jnp.sum(density_raw_fm(model, state.params,
+                                             pts_fm + i * 1e-6, 0.0,
+                                             cfg.mlp_backend)),
+            n_inner=30) * 1e3
 
     # --- MLP on the compacted points ---
     fwd = jax.jit(lambda p, x: density_raw(model, p, x, 0.0, cfg.mlp_backend))
