@@ -245,6 +245,17 @@ class TrainConfig:
     # midpoint recompute matches the march's t_mid to 1 ulp f32. Default
     # off until the TPU A/B (r4 queue) prices the relayout.
     feature_major_mlp: bool = False
+    # whole-train-step fused kernel (ops/pallas/fused_step.py): MLP
+    # forward + Beer-Lambert composite + MSE gradient + MLP backward in
+    # ONE pallas_call, replacing the split fwd/bwd kernel pair plus the
+    # XLA composite/loss glue between them. Eligible when the pallas MLP
+    # path is (pos_enc 'none', relu stack) AND pose_refine/
+    # train_alpha_prune are off — otherwise the split path runs.
+    # 'auto' = on-TPU when eligible, 'on' = force (raises if ineligible;
+    # interpret-mode on CPU, for tests), 'off' = always split.
+    # Default off until the TPU A/B + 20k quality gate price it
+    # (benchmarks/MFU.md round-4).
+    fused_train_step: str = "off"
 
     seed: int = 0
 
@@ -341,6 +352,12 @@ def parse_train_args(argv=None) -> TrainConfig:
         "(P,3)->(8,P) input relayout on the Pallas path)",
     )
     p.add_argument(
+        "--fused_train_step", default=None, choices=["auto", "on", "off"],
+        help="whole-train-step fused Pallas kernel (MLP fwd + composite + "
+        "loss grad + MLP bwd in one pallas_call); 'auto' = on-TPU when "
+        "the march/model are eligible",
+    )
+    p.add_argument(
         "--sampling_impl", default=None, choices=["overdraw", "gumbel"],
         help="weighted ray sampler (overdraw = fast table sampler; "
         "gumbel = exact pandas successive-draw semantics)",
@@ -413,6 +430,8 @@ def parse_train_args(argv=None) -> TrainConfig:
         kw["mlp_backend"] = a.mlp_backend
     if a.feature_major_mlp:
         kw["feature_major_mlp"] = True
+    if a.fused_train_step:
+        kw["fused_train_step"] = a.fused_train_step
     if a.sampling_impl:
         kw["sampling_impl"] = a.sampling_impl
     if a.reference_strict:

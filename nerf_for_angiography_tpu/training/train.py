@@ -735,6 +735,92 @@ def _keep_mask(m, sigma: jnp.ndarray, cfg: TrainConfig) -> tuple:
     return dists, jax.lax.stop_gradient(keep)
 
 
+def _fused_step_eligible(model: CPPN, cfg: TrainConfig) -> bool:
+    """Whether the whole-train-step fused kernel (ops/pallas/fused_step.py)
+    can replace the split fwd/bwd pair for this model/config.
+
+    Requirements beyond _pallas_eligible: pos_enc 'none' (the encoded
+    variants keep the split kernels), no pose refinement (positions must
+    be non-differentiable — the kernel returns only parameter grads) and
+    no alpha-threshold pruning (the kernel replays nerfacc's
+    early_stop_eps transmittance mask only). 'on' forces it (interpret
+    mode off-TPU, for tests); 'auto' engages on a TPU backend."""
+    mode = getattr(cfg, "fused_train_step", "off")
+    if mode == "off":
+        return False
+    c = model.config
+    ok = (
+        c.pos_enc == "none"
+        and _pallas_eligible(model)
+        and not cfg.pose_refine
+        and not cfg.train_alpha_prune
+        and cfg.mlp_backend in ("auto", "pallas")
+    )
+    if mode == "on":
+        if not ok:
+            raise ValueError(
+                "fused_train_step='on' needs pos_enc='none', relu, no "
+                "pose_refine/train_alpha_prune and a pallas-capable "
+                "mlp_backend (got an ineligible model/config)"
+            )
+        return True
+    return ok and jax.devices()[0].platform in ("tpu", "axon")
+
+
+def _fused_loss_and_grads(
+    model: CPPN, params, grid, origins, directions, targets, cfg, near, far
+):
+    """One-pallas_call loss gradient: march, then fold MLP forward +
+    Beer-Lambert composite + MSE gradient + MLP backward into
+    ops/pallas/fused_step.py::fused_step_grads (per bucket on the
+    two-bucket march — each bucket is a rectangular (R_b, k_b) lattice and
+    every ray lives in exactly one bucket, so the buckets' parameter grads
+    sum). Returns (loss, pixels, march, grads_pytree) with grads exactly
+    matching jax.grad of the split path (tests/test_fused_step.py,
+    tests/test_training.py::test_fused_train_step_matches_split)."""
+    from ..ops.pallas.fused_mlp import cppn_params_to_list, list_grads_to_cppn
+    from ..ops.pallas.fused_step import fused_step_grads
+
+    os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+    c = model.config
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    kw = dict(
+        step=(far - near) / cfg.depth_samples_per_ray,
+        early_stop_eps=cfg.early_stop_eps,
+        n_rays_loss=origins.shape[0],
+        input_scale=c.input_scale,
+        interpret=interpret,
+    )
+    plist = cppn_params_to_list(params, c.num_early_layers)
+    m = _march_for(cfg, grid, origins, directions, near, far)
+    if isinstance(m, BucketedRays):
+        o_s = jnp.take(origins, m.perm, axis=0)
+        d_s = jnp.take(directions, m.perm, axis=0)
+        t_s = jnp.take(targets, m.perm, axis=0)
+        cut = m.lo.t_starts.shape[0]
+        px_lo, g_lo = fused_step_grads(
+            plist, o_s[:cut], d_s[:cut],
+            (m.lo.t_starts + m.lo.t_ends) * 0.5, m.lo.mask, t_s[:cut], **kw,
+        )
+        px_hi, g_hi = fused_step_grads(
+            plist, o_s[cut:], d_s[cut:],
+            (m.hi.t_starts + m.hi.t_ends) * 0.5, m.hi.mask, t_s[cut:], **kw,
+        )
+        pixels = jnp.take(jnp.concatenate([px_lo, px_hi]), m.inv, axis=0)
+        glist = [
+            (gw_l + gw_h, gb_l + gb_h)
+            for (gw_l, gb_l), (gw_h, gb_h) in zip(g_lo, g_hi)
+        ]
+    else:
+        pixels, glist = fused_step_grads(
+            plist, origins, directions,
+            (m.t_starts + m.t_ends) * 0.5, m.mask, targets, **kw,
+        )
+    grads = list_grads_to_cppn(glist, params, c.num_early_layers)
+    loss = jnp.mean((pixels - targets) ** 2)
+    return loss, pixels, m, grads
+
+
 def render_rays(
     model: CPPN,
     params,
@@ -886,6 +972,7 @@ def _build_train_step(
     tx = make_optimizer(cfg)
     if cfg.sample_mode == "image" and not (num_images and rays_per_image):
         raise ValueError("sample_mode='image' needs num_images and rays_per_image")
+    use_fused_step = _fused_step_eligible(model, cfg)
 
     def train_step(state: TrainState, rays: RayDataset):
         key, k_sample, k_grid = jax.random.split(state.key, 3)
@@ -941,9 +1028,16 @@ def _build_train_step(
             loss = jnp.mean((pixels - batch.pixel_values) ** 2)
             return loss, (pixels, pressure)
 
-        (loss, (pixels, pressure)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if use_fused_step:
+            loss, pixels, march, grads = _fused_loss_and_grads(
+                model, state.params, grid, batch.origins, batch.directions,
+                batch.pixel_values, cfg, near, far,
+            )
+            pressure = march_pressure(march) if compacting else {}
+        else:
+            (loss, (pixels, pressure)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

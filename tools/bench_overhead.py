@@ -30,6 +30,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()  # axon platform is off JAX's cache allowlist
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

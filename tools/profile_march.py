@@ -19,6 +19,10 @@ os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()  # axon platform is off JAX's cache allowlist
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,6 +21,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from nerf_for_angiography_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()  # axon platform is off JAX's cache allowlist
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,6 +81,13 @@ def main():
         "--feature_major", action="store_true",
         help="A/B: feed the MLP feature-major positions (cfg.feature_major_mlp)",
     )
+    ap.add_argument(
+        "--fused_step", action="store_true",
+        help="A/B: whole-train-step fused kernel (cfg.fused_train_step="
+        "'auto'; ops/pallas/fused_step.py) — adds a fused_grads stage "
+        "(march+fwd+composite+bwd in one pallas_call) and runs full_step "
+        "through it",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -108,6 +119,7 @@ def main():
             else {}
         ),
         feature_major_mlp=args.feature_major,
+        fused_train_step="auto" if args.fused_step else "off",
     )
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -211,6 +223,27 @@ def main():
     gx = jax.jit(jax.grad(lambda p, x: jnp.sum(density_raw(model, p, x, 0.0, "xla"))))
     print("stage: mlp_fwdbwd_xla", file=sys.stderr)
     results["mlp_fwdbwd_xla_ms"] = timeit_on_device(grad_sum("xla"), n_inner=30) * 1e3
+
+    if args.fused_step:
+        # march + MLP fwd + composite + loss grad + MLP bwd, one call —
+        # the section the split path spells march_ms + mlp_fwdbwd_ms +
+        # XLA composite glue
+        from nerf_for_angiography_tpu.training.train import (
+            _fused_loss_and_grads,
+        )
+
+        tgt = ds.rays.pixel_values[: args.rays]
+        print("stage: fused_grads", file=sys.stderr)
+
+        def fused_i(i):
+            loss, px, _, grads = _fused_loss_and_grads(
+                model, params, grid, o + i * 1e-6, d, tgt, cfg, near, far
+            )
+            return loss + jax.tree.reduce(
+                lambda a, x: a + jnp.sum(x), grads, jnp.float32(0.0)
+            )
+
+        results["fused_grads_ms"] = timeit_on_device(fused_i, n_inner=30) * 1e3
 
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in results.items()}), file=sys.stderr)

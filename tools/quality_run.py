@@ -64,6 +64,11 @@ def main():
              "(TrainConfig.hybrid_bucket_k; needs --hybrid_split > 0)",
     )
     ap.add_argument(
+        "--fused_step", action="store_true",
+        help="whole-train-step fused kernel (TrainConfig.fused_train_step"
+             "='auto'; ops/pallas/fused_step.py)",
+    )
+    ap.add_argument(
         "--tag", default="",
         help="provenance tag recorded in the persisted result row",
     )
@@ -116,6 +121,8 @@ def main():
         kw["hybrid_split"] = args.hybrid_split
     if args.hybrid_bucket_k:
         kw["hybrid_bucket_k"] = True
+    if args.fused_step:
+        kw["fused_train_step"] = "auto"
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
