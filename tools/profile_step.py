@@ -46,11 +46,17 @@ def timeit(fn, *args, warmup=2, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-def timeit_on_device(body, n_inner=50, warmup=1, iters=4):
+def timeit_on_device(body, n_inner=50, warmup=1, iters=8):
     """Time ``body(i) -> scalar`` by scanning n_inner iterations inside ONE
     jitted dispatch — per-call tunnel latency would otherwise swamp any
     stage under ~10ms. ``body`` must consume ``i`` (e.g. perturb an input)
-    so XLA cannot hoist it out of the loop."""
+    so XLA cannot hoist it out of the loop.
+
+    The outer iters are PIPELINED (all dispatched async, one sync at the
+    end): blocking per run pays a full tunnel round-trip (~20-25 ms)
+    per dispatch, which at iters=4 x n_inner=30 silently added ~0.8 ms
+    to every per-call figure — the r4 "per-pallas_call fixed cost" was
+    exactly this artifact (benchmarks/MFU.md r4q5 overhead verdict)."""
     run = jax.jit(
         lambda: jax.lax.fori_loop(
             0, n_inner, lambda i, acc: acc + body(i), jnp.float32(0.0)
@@ -59,8 +65,8 @@ def timeit_on_device(body, n_inner=50, warmup=1, iters=4):
     for _ in range(warmup):
         run().block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run().block_until_ready()
+    outs = [run() for _ in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / (iters * n_inner)
 
 
