@@ -41,6 +41,27 @@ from .train import (
 )
 
 
+# truncation-pressure scalars the tuner observes each chunk, in the order
+# PressureTuner.observe takes them
+_PRESSURE_KEYS = (
+    "march/over_k", "march/over_k_lo", "march/edge_rays",
+    "march/ac", "march/ac_lo",
+)
+
+
+@jax.jit
+def _pressure_stats(sub: dict) -> jnp.ndarray:
+    """Reduce a chunk's stacked pressure metrics to ONE (5,) int32 vector
+    on device. The loop used to issue five jnp.max dispatches plus a stack
+    per chunk — through the tunnel each small dispatch costs ~1.3 ms and
+    the blocking fetch a full round-trip; one fused reduction + an async
+    D2H copy makes the whole observe ~free (benchmarks/MFU.md r4q7)."""
+    z = jnp.zeros((), jnp.int32)
+    return jnp.stack(
+        [jnp.max(sub[k]) if k in sub else z for k in _PRESSURE_KEYS]
+    )
+
+
 class _AsyncWriter:
     """Daemon artifact writer: latest-wins per tag, never blocks the step.
 
@@ -363,59 +384,115 @@ def train(
     # control, forced-hybrid recovered from −2.2…−5.9 dB to parity.
     tuner = PressureTuner(display_every=cfg.display_every)
 
+    # --- deferred chunk pipeline (benchmarks/MFU.md r4q7) ---
+    # Blocking on EVERY chunk (observe fetch + block_until_ready, each a
+    # full tunnel round-trip, plus five small jnp.max dispatches) measured
+    # 2.3 ms/step of pure host-sync tax at 50-step chunks
+    # (chunk_step_sync_ms vs chunk_step_ms, tools/profile_step.py). The
+    # fast path now dispatches the NEXT chunk before draining the previous
+    # one's pressure stats, so the fetch overlaps device compute and the
+    # device never idles between chunks. Every boundary that reads host
+    # values — logging, compaction checks/retunes, display/eval, partial
+    # chunks, the first call of a new runner (compile timing), an armed
+    # tuner.fire — drains first, so tuner/cadence semantics shift by at
+    # most one chunk of observe latency.
+    pending: list[dict] = []  # dispatched-but-unobserved chunks, FIFO
+    t_mark = time.perf_counter()
+
+    def _drain_one():
+        nonlocal t_mark, _compact_steady_rays
+        e = pending.pop(0)
+        if e["stats"] is not None:
+            tuner.observe(e["m"], *(int(v) for v in np.asarray(e["stats"])))
+        jax.block_until_ready(e["pred"])
+        now = time.perf_counter()
+        if e["new_runner"]:
+            timing["compile"] += now - t_mark
+        elif e["compact"]:
+            timing["step_compact"] += now - t_mark
+            _compact_steady_rays += e["count"] * cfg.img_sample_size
+        else:
+            timing["step_dense"] += now - t_mark
+        t_mark = now
+
     n_iter = start_iter
     while n_iter <= cfg.n_iters:
         # run up to (and including) the next boundary iteration — every
         # cadence the loop observes is a multiple of chunk_c
         m = min(-(-n_iter // chunk_c) * chunk_c, cfg.n_iters)
         count = m - n_iter + 1
-        t0 = time.perf_counter()
-        if use_chunks and count == chunk_c:
+        full_chunk = use_chunks and count == chunk_c
+        if full_chunk:
             runner = compact_chunk_fn() if using_compact else train_chunk
-            state, mstack, pred_pix, target_pix = runner(state, train_rays)
-            metrics = {k: v[-1] for k, v in mstack.items()}
-            if using_compact and "march/over_k" in mstack:
-                # ONE blocking fetch (a blocking transfer costs ~1.3 ms
-                # through the tunnel; three would be ~2% of a chunk)
-                tuner.observe(m, *(
-                    int(v) for v in np.asarray(jnp.stack([
-                        jnp.max(mstack["march/over_k"]),
-                        jnp.max(mstack["march/over_k_lo"]),
-                        jnp.max(mstack["march/edge_rays"]),
-                        jnp.max(mstack.get("march/ac", jnp.zeros(1, jnp.int32))),
-                        jnp.max(mstack.get("march/ac_lo", jnp.zeros(1, jnp.int32))),
-                    ]))
-                ))
         else:
             runner = compact_step_fn() if using_compact else train_step
+        rid = id(runner)
+        new_runner = rid not in _seen_runners
+        if new_runner:
+            _seen_runners.add(rid)
+        # isolate compiles and the single-step path from the pipeline
+        if pending and (new_runner or not full_chunk):
+            while pending:
+                _drain_one()
+        if not pending:
+            t_mark = time.perf_counter()
+        if full_chunk:
+            state, mstack, pred_pix, target_pix = runner(state, train_rays)
+            metrics = {k: v[-1] for k, v in mstack.items()}
+            stats = None
+            if using_compact and "march/over_k" in mstack:
+                stats = _pressure_stats(
+                    {k: mstack[k] for k in _PRESSURE_KEYS if k in mstack}
+                )
+                try:
+                    stats.copy_to_host_async()
+                except AttributeError:  # backend without async D2H
+                    pass
+            pending.append({
+                "m": m, "count": count, "stats": stats, "pred": pred_pix,
+                "new_runner": new_runner, "compact": using_compact,
+            })
+            # drain the PREVIOUS chunk now that this one is in flight
+            while len(pending) > 1:
+                _drain_one()
+        else:
             for _ in range(count):
                 state, metrics, pred_pix, target_pix = runner(
                     state, train_rays
                 )
             if using_compact and "march/over_k" in metrics:
                 tuner.observe(m, *(
-                    int(v) for v in np.asarray(jnp.stack([
-                        metrics["march/over_k"],
-                        metrics["march/over_k_lo"],
-                        metrics["march/edge_rays"],
-                        metrics.get("march/ac", jnp.zeros((), jnp.int32)),
-                        metrics.get("march/ac_lo", jnp.zeros((), jnp.int32)),
-                    ]))
+                    int(v) for v in np.asarray(_pressure_stats(
+                        {k: metrics[k] for k in _PRESSURE_KEYS
+                         if k in metrics}
+                    ))
                 ))
-        jax.block_until_ready(pred_pix)
-        rid = id(runner)
-        if rid not in _seen_runners:
-            _seen_runners.add(rid)
-            timing["compile"] += time.perf_counter() - t0
-        elif using_compact:
-            timing["step_compact"] += time.perf_counter() - t0
-            _compact_steady_rays += count * cfg.img_sample_size
-        else:
-            timing["step_dense"] += time.perf_counter() - t0
+            jax.block_until_ready(pred_pix)
+            now = time.perf_counter()
+            if new_runner:
+                timing["compile"] += now - t_mark
+            elif using_compact:
+                timing["step_compact"] += now - t_mark
+                _compact_steady_rays += count * cfg.img_sample_size
+            else:
+                timing["step_dense"] += now - t_mark
+            t_mark = now
         rays_done += count * cfg.img_sample_size
         if not using_compact:
             _dense_rays += count * cfg.img_sample_size
         n_iter = m
+
+        # sync points: every branch below this line reads host values or
+        # tuner state — drain the in-flight chunk first
+        if pending and (
+            (logger is not None and n_iter % 100 == 0)
+            or (want_compact and n_iter % check_every == 0)
+            or n_iter % cfg.display_every == 0
+            or n_iter >= cfg.n_iters
+            or tuner.fire
+        ):
+            while pending:
+                _drain_one()
 
         if logger and n_iter % 100 == 0:
             t0 = time.perf_counter()

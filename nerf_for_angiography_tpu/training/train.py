@@ -974,9 +974,21 @@ def _build_train_step(
         raise ValueError("sample_mode='image' needs num_images and rays_per_image")
     use_fused_step = _fused_step_eligible(model, cfg)
 
-    def train_step(state: TrainState, rays: RayDataset):
-        key, k_sample, k_grid = jax.random.split(state.key, 3)
+    def sample_batch(k_sample, rays: RayDataset):
+        # ray sampling on device (run_nerf_acc.py:275-280)
+        if cfg.sample_mode == "image":
+            from ..ops.sampling import sample_image_rays
 
+            return sample_image_rays(
+                k_sample, rays, cfg.img_sample_size, num_images, rays_per_image
+            )
+        return sample_pixel_rays(
+            k_sample, rays, cfg.img_sample_size,
+            weighted=cfg.sampling_strategy != "random",
+            impl=cfg.sampling_impl,
+        )
+
+    def step_core(state: TrainState, batch, k_grid, key_next):
         # BARF alpha anneal (run_nerf_acc.py:268-272)
         barf_alpha = (
             barf_alpha_schedule(state.step, cfg.pos_enc_basis, cfg.barf_start, cfg.barf_stop)
@@ -994,20 +1006,6 @@ def _build_train_step(
             key=k_grid if cfg.grid_jitter else None,
             slabs=cfg.grid_update_slabs,
         )
-
-        # ray sampling on device (run_nerf_acc.py:275-280)
-        if cfg.sample_mode == "image":
-            from ..ops.sampling import sample_image_rays
-
-            batch = sample_image_rays(
-                k_sample, rays, cfg.img_sample_size, num_images, rays_per_image
-            )
-        else:
-            batch = sample_pixel_rays(
-                k_sample, rays, cfg.img_sample_size,
-                weighted=cfg.sampling_strategy != "random",
-                impl=cfg.sampling_impl,
-            )
 
         # compacted steppers report truncation pressure so the loop can
         # regrow k/w_cap within one chunk of drift (march_pressure)
@@ -1055,10 +1053,19 @@ def _build_train_step(
             grid=grid,
             vessel_grid=vessel_grid,
             step=state.step + 1,
-            key=key,
+            key=key_next,
         )
         return new_state, metrics, pixels, batch.pixel_values
 
+    def train_step(state: TrainState, rays: RayDataset):
+        key, k_sample, k_grid = jax.random.split(state.key, 3)
+        batch = sample_batch(k_sample, rays)
+        return step_core(state, batch, k_grid, key)
+
+    # the chunk builder (make_train_chunk) pre-samples every step's batch
+    # in ONE vmapped op instead of 50 small sequential ops inside the scan
+    train_step.step_core = step_core
+    train_step.sample_batch = sample_batch
     return train_step
 
 
@@ -1105,6 +1112,11 @@ def make_train_chunk(
     inner = _build_train_step(model, cfg, near, far, num_images, rays_per_image)
 
     def chunk(state: TrainState, rays: RayDataset):
+        # NOTE (r4q8 negative result): pre-drawing all 50 ray batches in
+        # one vmapped sampler call before the scan — instead of 50 small
+        # sequential ops inside it — measured SLOWER on TPU (chunk_step
+        # 4.92 vs 4.66 ms/step, /tmp/r4q8_profile.log) despite identical
+        # keys/samples; the inline sampler stays.
         def body(carry, _):
             st, _, _ = carry
             st, metrics, pred, tgt = inner(st, rays)

@@ -251,11 +251,87 @@ def main():
 
         results["fused_grads_ms"] = timeit_on_device(fused_i, n_inner=30) * 1e3
 
+    # --- the non-kernel remainder (the ~3 ms target: MFU.md r4q5) ---
+    use_cfg = cfg if args.mode != "dense" else dense_cfg
+    import optax
+
+    from nerf_for_angiography_tpu.ops.occupancy import every_n_step_pair
+    from nerf_for_angiography_tpu.ops.sampling import sample_pixel_rays
+    from nerf_for_angiography_tpu.training.train import (
+        _sigma_fn, make_optimizer, render_rays,
+    )
+
+    tgt = ds.rays.pixel_values[: args.rays]
+    rays_all = ds.rays
+    key0 = jax.random.PRNGKey(1)
+
+    print("stage: sampling", file=sys.stderr)
+    samp_i = lambda i: jnp.sum(
+        sample_pixel_rays(
+            jax.random.fold_in(key0, i), rays_all, cfg.img_sample_size,
+            weighted=cfg.sampling_strategy != "random", impl=cfg.sampling_impl,
+        ).origins
+    )
+    results["sampling_ms"] = timeit_on_device(samp_i, n_inner=30) * 1e3
+
+    # march + MLP fwd + composite + MSE + backward, exactly the step's
+    # value_and_grad section (train.py loss_fn) — minus sampling/grid/Adam
+    print("stage: loss_grad", file=sys.stderr)
+
+    def loss_grad_i(i):
+        def loss_fn(p):
+            out = render_rays(
+                model, p, grid, o + i * 1e-6, d, use_cfg, near, far, 0.0,
+                return_march=True,
+            )
+            return jnp.mean((out[0] - tgt) ** 2)
+
+        l, gr = jax.value_and_grad(loss_fn)(params)
+        return l + jax.tree.reduce(
+            lambda a, x: a + jnp.sum(x), gr, jnp.float32(0.0)
+        )
+
+    results["loss_grad_ms"] = timeit_on_device(loss_grad_i, n_inner=30) * 1e3
+
+    print("stage: adam", file=sys.stderr)
+    tx = make_optimizer(use_cfg)
+    opt_state0 = jax.jit(tx.init)(params)
+    grads0 = jax.tree.map(lambda x: x * 1e-3, params)
+
+    def adam_i(i):
+        gr = jax.tree.map(lambda x: x * (1.0 + i * 1e-6), grads0)
+        upd, _ = tx.update(gr, opt_state0, params)
+        p2 = optax.apply_updates(params, upd)
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(x), p2, jnp.float32(0.0)
+        )
+
+    results["adam_ms"] = timeit_on_device(adam_i, n_inner=30) * 1e3
+
+    # occupancy-pair EMA update, forced to FIRE every iteration (the real
+    # step gates it on step % grid_update_every via lax.cond — divide by
+    # grid_update_every for the amortized per-step cost)
+    print("stage: grid_update", file=sys.stderr)
+    sig0 = _sigma_fn(model, params, 0.0, cfg.mlp_backend)
+    n_upd = use_cfg.grid_update_every
+    step_fire = jnp.int32(((512 // n_upd) + 1) * n_upd)  # past warmup, fires
+
+    def grid_i(i):
+        sfn = lambda x: sig0(x + i * 1e-9)
+        g2, v2 = every_n_step_pair(
+            grid, state.vessel_grid, step_fire, sfn, use_cfg.alpha_thre,
+            use_cfg.vessel_alpha_thre, n_upd, use_cfg.grid_ema_decay,
+            key=None, slabs=use_cfg.grid_update_slabs,
+        )
+        return jnp.sum(g2.occs) + jnp.sum(v2.occs)
+
+    results["grid_update_ms"] = timeit_on_device(grid_i, n_inner=10) * 1e3
+    results["grid_update_amortized_ms"] = results["grid_update_ms"] / n_upd
+
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in results.items()}), file=sys.stderr)
 
     # --- full step ---
-    use_cfg = cfg if args.mode != "dense" else dense_cfg
     step = make_train_step(model, use_cfg, near, far)
     print("stage: full_step", file=sys.stderr)
     # the jitted step donates its state — thread it instead of reusing
@@ -270,6 +346,45 @@ def main():
     jax.block_until_ready(st.params)
     results["full_step_ms"] = (time.perf_counter() - t0) / iters * 1e3
     results["rays_per_sec"] = cfg.img_sample_size / (results["full_step_ms"] / 1e3)
+
+    # --- the loop's real regime: lax.scan of 50 steps per dispatch ---
+    # (training/loop.py uses make_train_chunk; per-step dispatch overhead
+    # and host glue amortize across the chunk — this is the number the
+    # quality runs' steady_rays_per_sec reflects)
+    print("stage: chunk50", file=sys.stderr)
+    chunk_c = make_train_chunk(model, use_cfg, near, far, 50)
+    st, *_ = chunk_c(st, ds.rays)  # compile + warm (donates st)
+    jax.block_until_ready(st.params)
+    nrep = 4
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        st, *_ = chunk_c(st, ds.rays)
+    jax.block_until_ready(st.params)
+    results["chunk_step_ms"] = (time.perf_counter() - t0) / (nrep * 50) * 1e3
+    results["chunk_rays_per_sec"] = cfg.img_sample_size / (
+        results["chunk_step_ms"] / 1e3
+    )
+
+    # --- the loop's ACTUAL per-chunk pattern: one blocking stacked-max
+    # fetch (tuner.observe) + block_until_ready per chunk
+    # (training/loop.py:373-405) — the delta vs chunk_step_ms is the
+    # per-chunk host-sync tax the loop pays through the tunnel
+    print("stage: chunk50_sync", file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        st, mstack, pred_pix, _tgt = chunk_c(st, ds.rays)
+        if "march/over_k" in mstack:
+            _ = [
+                int(v) for v in np.asarray(jnp.stack([
+                    jnp.max(mstack["march/over_k"]),
+                    jnp.max(mstack["march/over_k_lo"]),
+                    jnp.max(mstack["march/edge_rays"]),
+                    jnp.max(mstack.get("march/ac", jnp.zeros(1, jnp.int32))),
+                    jnp.max(mstack.get("march/ac_lo", jnp.zeros(1, jnp.int32))),
+                ]))
+            ]
+        jax.block_until_ready(pred_pix)
+    results["chunk_step_sync_ms"] = (time.perf_counter() - t0) / (nrep * 50) * 1e3
 
     # --- MFU accounting ---
     f = cfg.num_hidden_units
