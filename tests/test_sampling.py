@@ -187,3 +187,36 @@ def test_sample_pixel_rays_overdraw_impl():
     # consistency: picked pixel_values correspond to picked origins rows
     rows = np.asarray(batch.origins[:, 0]) / 3.0
     np.testing.assert_allclose(rows, np.asarray(batch.pixel_values), atol=1e-5)
+
+
+def test_overdraw_scatter_min_path_bit_exact():
+    """The scatter-min dedupe (n_values set — the path sample_pixel_rays
+    uses) selects EXACTLY the same indices in the same order as the
+    argsort fallback, including the duplicate-spill shortfall regime."""
+    from nerf_for_angiography_tpu.ops import (
+        build_sampling_table,
+        overdraw_sample_indices,
+    )
+
+    # normal regime: plenty of unique draws
+    n_pop = 10_000
+    table = build_sampling_table(jnp.ones(n_pop))
+    for seed in range(5):
+        k = jax.random.PRNGKey(seed)
+        ref = np.asarray(overdraw_sample_indices(k, table, 500))
+        fast = np.asarray(
+            overdraw_sample_indices(k, table, 500, n_values=n_pop)
+        )
+        np.testing.assert_array_equal(fast, ref)
+
+    # forced shortfall: population smaller than the draw, so the output
+    # must be [all uniques in draw order, earliest duplicates in order]
+    n_pop = 64
+    table = build_sampling_table(jnp.ones(n_pop))
+    for seed in range(5):
+        k = jax.random.PRNGKey(seed)
+        ref = np.asarray(overdraw_sample_indices(k, table, 60, oversample=1.2))
+        fast = np.asarray(
+            overdraw_sample_indices(k, table, 60, oversample=1.2, n_values=n_pop)
+        )
+        np.testing.assert_array_equal(fast, ref)

@@ -88,6 +88,11 @@ def main():
         help="A/B: feed the MLP feature-major positions (cfg.feature_major_mlp)",
     )
     ap.add_argument(
+        "--glue", action="store_true",
+        help="decompose the composite+glue residual (march-with-positions, "
+        "forward render, no-early-stop loss grad, composite-only grad)",
+    )
+    ap.add_argument(
         "--fused_step", action="store_true",
         help="A/B: whole-train-step fused kernel (cfg.fused_train_step="
         "'auto'; ops/pallas/fused_step.py) — adds a fused_grads stage "
@@ -292,6 +297,72 @@ def main():
         )
 
     results["loss_grad_ms"] = timeit_on_device(loss_grad_i, n_inner=30) * 1e3
+
+    if args.glue:
+        # Decompose the loss_grad residual ("composite + glue") further:
+        # where do the ~0.8 ms between loss_grad and march+mlp_fwdbwd go?
+        from nerf_for_angiography_tpu.training.train import (
+            BucketedRays, _bucket_sigmas, _flat_positions, _keep_mask,
+        )
+
+        # (a) march with its POSITIONS consumed — march_ms sums only the
+        # mask, letting XLA dead-code-eliminate the (R,k,3) positions
+        # materialization the real step needs (unless feature_major
+        # recomputes them from t). The delta re-attributes glue to march.
+        if args.mode == "hybrid2k":
+            pos_i = lambda i: jnp.sum(_flat_positions(march(grid, o + i * 1e-6)))
+        else:
+            pos_i = lambda i: jnp.sum(march(grid, o + i * 1e-6).positions)
+        results["march_pos_ms"] = timeit_on_device(pos_i) * 1e3
+
+        # (b) forward-only render: march + MLP fwd + composite fwd
+        def render_fwd_i(i):
+            out = render_rays(
+                model, params, grid, o + i * 1e-6, d, use_cfg, near, far, 0.0
+            )
+            return jnp.sum(out[0])
+
+        results["render_fwd_ms"] = timeit_on_device(render_fwd_i, n_inner=30) * 1e3
+
+        # (c) loss_grad with early_stop_eps=0 (drops prune_mask's cumsum
+        # + transmittance chain; keep == march mask)
+        noes_cfg = dataclasses.replace(use_cfg, early_stop_eps=0.0)
+
+        def loss_grad_noes_i(i):
+            def loss_fn(p):
+                out = render_rays(
+                    model, p, grid, o + i * 1e-6, d, noes_cfg, near, far, 0.0
+                )
+                return jnp.mean((out[0] - tgt) ** 2)
+
+            l, gr = jax.value_and_grad(loss_fn)(params)
+            return l + jax.tree.reduce(
+                lambda a, x: a + jnp.sum(x), gr, jnp.float32(0.0)
+            )
+
+        results["loss_grad_noes_ms"] = timeit_on_device(
+            loss_grad_noes_i, n_inner=30
+        ) * 1e3
+
+        # (d) composite chain alone, fwd+bwd wrt the raw MLP output:
+        # sigmoid + keep + Beer-Lambert + MSE + unpermute (the exact
+        # post-MLP section of render_rays, with the march/MLP constant)
+        m0 = jax.jit(march)(grid, o)
+        raw0 = jnp.zeros((_flat_positions(m0).shape[0],), jnp.float32)
+
+        def comp_loss(raw, i):
+            mm = m0
+            parts = []
+            for mb, sb in _bucket_sigmas(mm, raw + i * 1e-9):
+                dists, keep = _keep_mask(mb, sb, use_cfg)
+                parts.append(jnp.exp(-jnp.sum(sb * keep * dists, axis=-1)))
+            px = jnp.concatenate(parts)
+            if isinstance(mm, BucketedRays):
+                px = jnp.take(px, mm.inv, axis=0)
+            return jnp.mean((px - tgt) ** 2)
+
+        comp_i = lambda i: jnp.sum(jax.grad(comp_loss)(raw0, i))
+        results["composite_grad_ms"] = timeit_on_device(comp_i, n_inner=30) * 1e3
 
     print("stage: adam", file=sys.stderr)
     tx = make_optimizer(use_cfg)
