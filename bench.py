@@ -56,24 +56,93 @@ enable_persistent_cache()
 BASELINE_RAYS_PER_SEC = 93_750.0
 
 
+def _kill_stray_tpu_clients() -> None:
+    """A SECOND concurrent axon client is the most common cause of a wedged
+    tunnel (CLAUDE.md): a backgrounded python that touched any jnp op holds
+    the tunnel until it exits. Scan /proc for python processes that are
+    neither this process, nor its ancestors, nor the tunnel infrastructure
+    itself, and kill them by SPECIFIC PID (never by pattern — a pattern can
+    match the driver's own command line)."""
+    protected = {"tpu_init", "process_api", "stdio_shim", "claude"}
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    for _ in range(32):  # walk up the parent chain
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        ancestors.add(pid)
+        if ppid <= 1:
+            break
+        pid = ppid
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        p = int(entry)
+        if p == me or p in ancestors:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if "python" not in cmd:
+            continue
+        if any(tag in cmd for tag in protected):
+            continue
+        sys.stderr.write(f"bench: killing stray python client pid={p}: {cmd[:120]}\n")
+        try:
+            os.kill(p, signal.SIGTERM)
+        except OSError:
+            continue
+    # give SIGTERM'd clients a moment to release the tunnel, then SIGKILL
+    time.sleep(5)
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        p = int(entry)
+        if p == me or p in ancestors:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode(errors="replace")
+            if "python" in cmd and not any(t in cmd for t in protected):
+                os.kill(p, signal.SIGKILL)
+        except OSError:
+            continue
+
+
 def _watchdog(seconds: int):
     """The axon TPU tunnel can wedge (every op blocks forever). Fail loudly
     instead of hanging the driver — and, since the wedge is often transient
-    but latches the in-process backend, re-exec ONE fresh process after a
-    cool-down before giving up."""
+    but latches the in-process backend, re-exec a fresh process after a
+    cool-down before giving up. Wedges self-heal in 2-10 min once only one
+    client remains (CLAUDE.md), so the cool-downs back off exponentially:
+    60 s, 150 s, 360 s, 600 s across up to 4 retries (~20 min total) —
+    the round-4 single 120 s retry was under-powered against a real wedge
+    (BENCH_r04: both attempts hit the same wedge window)."""
+    cooldowns = [60, 150, 360, 600]
 
     def onalarm(signum, frame):
         sys.stderr.write(
             "bench: TPU device did not respond within "
             f"{seconds}s (axon tunnel wedged?)\n"
         )
-        if os.environ.get("BENCH_WEDGE_RETRY") != "1":
-            sys.stderr.write("bench: retrying once in a fresh process...\n")
+        attempt = int(os.environ.get("BENCH_WEDGE_RETRY", "0"))
+        if attempt < len(cooldowns):
+            _kill_stray_tpu_clients()
+            wait = cooldowns[attempt]
+            sys.stderr.write(
+                f"bench: retry {attempt + 1}/{len(cooldowns)} in a fresh "
+                f"process after a {wait}s cool-down...\n"
+            )
             sys.stderr.flush()
-            time.sleep(120)  # give the tunnel a cool-down
-            env = dict(os.environ, BENCH_WEDGE_RETRY="1")
+            time.sleep(wait)
+            env = dict(os.environ, BENCH_WEDGE_RETRY=str(attempt + 1))
             os.execve(sys.executable, [sys.executable, __file__], env)
-        sys.stderr.write("bench: still wedged after retry; aborting\n")
+        sys.stderr.write("bench: still wedged after all retries; aborting\n")
         os._exit(1)
 
     signal.signal(signal.SIGALRM, onalarm)
@@ -81,6 +150,9 @@ def _watchdog(seconds: int):
 
 
 def main():
+    # the health check itself retries through the watchdog's fresh-process
+    # backoff ladder: a wedge at THIS point costs one 240 s window + the
+    # cool-down per attempt, not the whole run
     _watchdog(240)
     # health check: trivial op round-trips before committing to the run
     float(jnp.ones(4).sum())
@@ -130,12 +202,22 @@ def main():
 
     # Measured-FLOP MFU anchor (benchmarks/MFU.md accounting): per-point
     # MLP fwd = (3*128 + 4*128^2 + 128) MACs; fwd+bwd ~ 3x fwd; points/step
-    # = batch * the run's FINAL compacted width (approximate — the loop
-    # re-tunes k over the run). v5e bf16 peak = 197 TF/s.
-    tun = t.get("tuning_final") or {}
-    k_eff = float(tun.get("k") or cfg.compact_samples or cfg.depth_samples_per_ray)
-    if tun.get("k_lo") and cfg.hybrid_split > 0:
-        k_eff = cfg.hybrid_split * tun["k_lo"] + (1 - cfg.hybrid_split) * k_eff
+    # = batch * the TIME-WEIGHTED compacted width over the run's steady
+    # phases (the loop re-tunes k; weighting by per-Tuning wall keeps the
+    # headline MFU from being flattered or penalized by whatever the last
+    # retune picked — VERDICT r4 #7). v5e bf16 peak = 197 TF/s.
+    def _phase_k(ph: dict) -> float:
+        k = float(ph.get("k") or cfg.compact_samples or cfg.depth_samples_per_ray)
+        if ph.get("k_lo") and cfg.hybrid_split > 0:
+            k = cfg.hybrid_split * ph["k_lo"] + (1 - cfg.hybrid_split) * k
+        return k
+
+    phases = t.get("steady_phases") or []
+    phase_wall = sum(p["wall_s"] for p in phases)
+    if phase_wall > 0:
+        k_eff = sum(_phase_k(p) * p["wall_s"] for p in phases) / phase_wall
+    else:  # never compacted: fall back to the final tuning / config widths
+        k_eff = _phase_k(t.get("tuning_final") or {})
     f = cfg.num_hidden_units
     macs_fwd = 3 * f + cfg.num_layers * f * f + f
     flop_per_step = cfg.img_sample_size * k_eff * macs_fwd * 2 * 3

@@ -1,15 +1,20 @@
 """Whole-train-step fused Pallas kernel: MLP forward + Beer-Lambert
 composite + MSE loss gradient + MLP backward in ONE pallas_call.
 
-Why: the r4q3/r4q4 overhead isolation (benchmarks/MFU.md "forward gap,
-decomposed") measured a ~0.75 ms per-pallas_call fixed cost on the v5e
-tunnel backend, independent of tile size and point count. The training
-step pays it twice (fused_mlp forward + custom-VJP backward) — ~1.5 ms
-of a ~3.8 ms step. This kernel folds the entire differentiable section
-of the train step (run_nerf_acc.py:287-307 equivalents: get_predictions
--> acc_render_volume_density -> mse_loss -> backward) into one
-invocation: one fixed cost, no (1, P) raw/σ HBM round trips, no XLA
-glue between forward and backward.
+Why (historical): the r4q3/r4q4 overhead isolation initially measured a
+~0.75 ms per-pallas_call fixed cost, which this kernel was built to pay
+once instead of twice. The r4q5 isolation (benchmarks/MFU.md "Overhead
+isolation verdict") RETRACTED that number — it was a timing-harness
+artifact (blocking per outer dispatch through the tunnel) — and the
+r4q6 A/B measured this kernel SLOWER end-to-end than the split
+fused_mlp forward + custom-VJP backward (7.03 vs 6.03 ms full_step;
+863k vs 1.024M rays/s steady at quality parity). It is kept, off by
+default, as a measured negative result with gradient-exactness tests.
+It folds the entire differentiable section of the train step
+(run_nerf_acc.py:287-307 equivalents: get_predictions ->
+acc_render_volume_density -> mse_loss -> backward) into one
+invocation: no (1, P) raw/σ HBM round trips, no XLA glue between
+forward and backward.
 
 Total matmul FLOPs are UNCHANGED vs the split kernels: the split
 backward already rematerializes the forward in-kernel, so both designs
@@ -47,8 +52,11 @@ loss = mean((pixel - target)^2) (run_nerf_acc.py:298-303). dists ==
 (far-near)/n_samples is a compile-time scalar on every march lattice.
 
 Supported: the pallas-eligible relu/'none'-encoding CPPN stack on
-rectangular marches (window/hybrid/lattice). The two-bucket march and
-pose refinement fall back to the split kernels (training/train.py).
+rectangular marches (window/hybrid/lattice). The two-bucket march runs
+this kernel once per bucket — each bucket is a rectangular (R_b, k_b)
+lattice and parameter grads sum (train.py::_fused_loss_and_grads;
+tests/test_fused_step.py::test_train_wiring_two_bucket_march). Pose
+refinement falls back to the split kernels (training/train.py).
 """
 
 from __future__ import annotations

@@ -371,6 +371,10 @@ def train(
     _seen_runners: set = set()
     _dense_rays = 0  # rays stepped before compaction engaged
     _compact_steady_rays = 0  # compacted rays outside first-call chunks
+    # per-Tuning steady (wall, rays) so bench.py can compute a
+    # TIME-WEIGHTED effective k over the run instead of flattering or
+    # penalizing MFU with whatever the last retune happened to pick
+    _steady_phases: dict[Tuning, list] = {}
 
     # truncation-pressure tuner (training/pressure.py): compacted steppers
     # report march_pressure scalars; any drift (actives outgrowing k,
@@ -406,13 +410,18 @@ def train(
             tuner.observe(e["m"], *(int(v) for v in np.asarray(e["stats"])))
         jax.block_until_ready(e["pred"])
         now = time.perf_counter()
+        dt = now - t_mark
         if e["new_runner"]:
-            timing["compile"] += now - t_mark
+            timing["compile"] += dt
         elif e["compact"]:
-            timing["step_compact"] += now - t_mark
+            timing["step_compact"] += dt
             _compact_steady_rays += e["count"] * cfg.img_sample_size
+            if e["tuning"] is not None:
+                ph = _steady_phases.setdefault(e["tuning"], [0.0, 0])
+                ph[0] += dt
+                ph[1] += e["count"] * cfg.img_sample_size
         else:
-            timing["step_dense"] += now - t_mark
+            timing["step_dense"] += dt
         t_mark = now
 
     n_iter = start_iter
@@ -451,6 +460,7 @@ def train(
             pending.append({
                 "m": m, "count": count, "stats": stats, "pred": pred_pix,
                 "new_runner": new_runner, "compact": using_compact,
+                "tuning": tuning if using_compact else None,
             })
             # drain the PREVIOUS chunk now that this one is in flight
             while len(pending) > 1:
@@ -469,13 +479,17 @@ def train(
                 ))
             jax.block_until_ready(pred_pix)
             now = time.perf_counter()
+            dt = now - t_mark
             if new_runner:
-                timing["compile"] += now - t_mark
+                timing["compile"] += dt
             elif using_compact:
-                timing["step_compact"] += now - t_mark
+                timing["step_compact"] += dt
                 _compact_steady_rays += count * cfg.img_sample_size
+                ph = _steady_phases.setdefault(tuning, [0.0, 0])
+                ph[0] += dt
+                ph[1] += count * cfg.img_sample_size
             else:
-                timing["step_dense"] += now - t_mark
+                timing["step_dense"] += dt
             t_mark = now
         rays_done += count * cfg.img_sample_size
         if not using_compact:
@@ -694,11 +708,17 @@ def train(
         if timing["step_compact"] > 0
         else 0.0
     )
-    # the stepper sizing the run ENDED on (bench.py's MFU accounting; an
-    # approximation — the loop re-tunes k over the run)
+    # the stepper sizing the run ENDED on (an approximation — the loop
+    # re-tunes k over the run)...
     timing["tuning_final"] = (
         dataclasses.asdict(tuning) if using_compact else None
     )
+    # ...and the full per-Tuning steady breakdown, so bench.py's MFU uses
+    # the TIME-WEIGHTED k over the run (VERDICT r4 #7)
+    timing["steady_phases"] = [
+        {**dataclasses.asdict(t), "wall_s": float(w), "rays": int(r)}
+        for t, (w, r) in _steady_phases.items()
+    ]
     if verbose:
         print(
             "timing breakdown (s): "

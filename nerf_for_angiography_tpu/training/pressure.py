@@ -78,7 +78,10 @@ class PressureTuner:
     The loop calls, in boundary order:
 
     * ``observe(m, over, over_k_lo, edge)`` after each compacted chunk with
-      the batch's own ``march_pressure`` scalars;
+      the batch's own ``march_pressure`` scalars (under the r4q8 pipelined
+      loop the drain — and therefore the observation — lags the dispatched
+      chunk by one, so pressure is acted on within TWO chunk boundaries of
+      drift, not one);
     * ``engage(choice, cfg)`` when the compacted stepper first switches on;
     * ``retune(tuning, choice, cfg)`` at cadence checks and on fires;
     * ``resolve(m, changed, recheck)`` after a FIRED re-choose, with

@@ -776,8 +776,8 @@ def _fused_loss_and_grads(
     two-bucket march — each bucket is a rectangular (R_b, k_b) lattice and
     every ray lives in exactly one bucket, so the buckets' parameter grads
     sum). Returns (loss, pixels, march, grads_pytree) with grads exactly
-    matching jax.grad of the split path (tests/test_fused_step.py,
-    tests/test_training.py::test_fused_train_step_matches_split)."""
+    matching jax.grad of the split path (tests/test_fused_step.py::
+    test_train_wiring_dense_march / test_train_wiring_two_bucket_march)."""
     from ..ops.pallas.fused_mlp import cppn_params_to_list, list_grads_to_cppn
     from ..ops.pallas.fused_step import fused_step_grads
 
@@ -896,8 +896,9 @@ def march_pressure(m) -> dict[str, jnp.ndarray]:
                 evidence gate — a decay that the very next fire must undo
                 is pure churn, ~100 truncating iters per bounce).
 
-    The training loop reads these each chunk and grows k/w_cap at the next
-    boundary instead of waiting out the re-check cadence: the 4-seed
+    The training loop reads these each chunk and grows k/w_cap within two
+    chunk boundaries (the r4q8 pipelined drain defers ``tuner.observe`` by
+    one chunk) instead of waiting out the re-check cadence: the 4-seed
     forced-hybrid gates (benchmarks/quality_runs_r3.jsonl) measured
     −2.2…−5.9 dB held-out when this drift runs unchecked for a full
     display cadence. Under a sharded batch the reductions ride the mesh's
@@ -1008,7 +1009,8 @@ def _build_train_step(
         )
 
         # compacted steppers report truncation pressure so the loop can
-        # regrow k/w_cap within one chunk of drift (march_pressure)
+        # regrow k/w_cap within two chunk boundaries of drift — one chunk
+        # of observe latency under the pipelined drain (march_pressure)
         compacting = 0 < cfg.compact_samples < cfg.depth_samples_per_ray
 
         def loss_fn(params):
@@ -1062,10 +1064,6 @@ def _build_train_step(
         batch = sample_batch(k_sample, rays)
         return step_core(state, batch, k_grid, key)
 
-    # the chunk builder (make_train_chunk) pre-samples every step's batch
-    # in ONE vmapped op instead of 50 small sequential ops inside the scan
-    train_step.step_core = step_core
-    train_step.sample_batch = sample_batch
     return train_step
 
 
