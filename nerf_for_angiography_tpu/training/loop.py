@@ -496,14 +496,35 @@ def train(
             _dense_rays += count * cfg.img_sample_size
         n_iter = m
 
-        # sync points: every branch below this line reads host values or
-        # tuner state — drain the in-flight chunk first
+        # re-tune cadence of the engaged compacted stepper (used by the
+        # retune block below AND by the drain decision): the faster
+        # check_every while k is on the INTERIM ladder, display_every once
+        # settled. Computed from tuner/tuning state, which only changes at
+        # drained boundaries — safe to read before draining.
+        recheck = (
+            check_every
+            if tuning.k > cfg.compact_samples
+            else cfg.display_every
+        )
+
+        # sync points: drain the in-flight chunk ONLY when a consumer below
+        # actually reads host values or tuner state this iteration. The
+        # round-4 condition drained at EVERY check_every boundary — which
+        # equals the chunk size, so in the settled compact phase the
+        # pipeline never overlapped: every chunk ended with a full drain +
+        # a ~20-25 ms un-overlapped re-dispatch through the tunnel
+        # (benchmarks/MFU.md r4q5: per-outer-dispatch round-trip). Now the
+        # settled phase drains only at display/retune boundaries; pressure
+        # observation still happens every chunk via the pending<=1
+        # pipeline, so tuner latency stays <= two chunk boundaries.
         if pending and (
             (logger is not None and n_iter % 100 == 0)
-            or (want_compact and n_iter % check_every == 0)
+            or (want_compact and not using_compact
+                and n_iter % check_every == 0)
+            or (want_compact and using_compact
+                and (n_iter % recheck == 0 or tuner.fire))
             or n_iter % cfg.display_every == 0
             or n_iter >= cfg.n_iters
-            or tuner.fire
         ):
             while pending:
                 _drain_one()
