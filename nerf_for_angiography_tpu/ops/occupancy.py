@@ -1082,6 +1082,7 @@ def march_rays_hybrid2k(
     occ_stride: int = 1,
     coarse_factor: int | None = None,
     aabb_extent: float | None = None,
+    fka: str = "xla",
 ) -> BucketedRays | MarchedRays:
     """Two-bucket hybrid march with PER-BUCKET compaction width.
 
@@ -1113,13 +1114,13 @@ def march_rays_hybrid2k(
         return march_rays_hybrid2(
             grid, origins, directions, n_samples, near, far, k,
             w_lo=w_lo, w_cap=w_cap, split=split, occ_stride=occ_stride,
-            coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+            coarse_factor=coarse_factor, aabb_extent=aabb_extent, fka=fka,
         )
     if n_rays < 2 or cut < 1 or cut >= n_rays or w_lo >= w_cap:
         return march_rays_hybrid(
             grid, origins, directions, n_samples, near, far, k,
             w_cap=w_cap, occ_stride=occ_stride,
-            coarse_factor=coarse_factor, aabb_extent=aabb_extent,
+            coarse_factor=coarse_factor, aabb_extent=aabb_extent, fka=fka,
         )
 
     start_idx, end_idx, any_hit = coarse_window(
@@ -1136,11 +1137,11 @@ def march_rays_hybrid2k(
 
     m_lo = _hybrid_fine(
         grid, o_s[:cut], d_s[:cut], st_s[:cut], ah_s[:cut],
-        n_samples, near, far, k_lo, w_lo, occ_stride,
+        n_samples, near, far, k_lo, w_lo, occ_stride, fka,
     )
     m_hi = _hybrid_fine(
         grid, o_s[cut:], d_s[cut:], st_s[cut:], ah_s[cut:],
-        n_samples, near, far, k, w_cap, occ_stride,
+        n_samples, near, far, k, w_cap, occ_stride, fka,
     )
     return BucketedRays(lo=m_lo, hi=m_hi, inv=jnp.argsort(perm), perm=perm)
 

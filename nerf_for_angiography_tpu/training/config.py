@@ -173,6 +173,13 @@ class TrainConfig:
     # interval when the EMA re-thresholds cells back on. (1.15 until the
     # lower margins clear the 20k-iter quality gate on the TPU.)
     compact_k_margin: float = 1.15
+    # first-k-active compaction backend inside the marches
+    # (ops/occupancy.py::_first_k_active): 'xla' (cumsum compare+count) or
+    # 'pallas' (ops/pallas/first_k.py, rays-in-lanes transposed kernel).
+    # Both measured ~0.6 ms at the flagship shape (benchmarks/MFU.md
+    # "first-k-active as a Pallas kernel"); plumbed as a config knob so
+    # the A/B is one flag at the SHIPPED march shapes (VERDICT r4 #2).
+    march_fka: str = "xla"
     # how often (iters) the loop checks whether the grid has pruned enough
     # to engage the compacted stepper. The dense phase runs at ~1/4 of the
     # compacted throughput, so checking only at display_every cadence (the

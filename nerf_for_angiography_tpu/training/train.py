@@ -316,20 +316,20 @@ def _march_for(
                     near, far, k=cfg.compact_samples, k_lo=cfg.hybrid_k_lo,
                     w_lo=cfg.hybrid_w_lo, w_cap=cfg.hybrid_w_cap or None,
                     split=cfg.hybrid_split, aabb_extent=2 * cfg.outside,
-                    occ_stride=stride,
+                    occ_stride=stride, fka=cfg.march_fka,
                 )
             return march_rays_hybrid2(
                 grid, origins, directions, cfg.depth_samples_per_ray,
                 near, far, k=cfg.compact_samples,
                 w_lo=cfg.hybrid_w_lo, w_cap=cfg.hybrid_w_cap or None,
                 split=cfg.hybrid_split, aabb_extent=2 * cfg.outside,
-                occ_stride=stride,
+                occ_stride=stride, fka=cfg.march_fka,
             )
         return march_rays_hybrid(
             grid, origins, directions, cfg.depth_samples_per_ray, near, far,
             k=cfg.compact_samples, w_cap=cfg.hybrid_w_cap or None,
             aabb_extent=2 * cfg.outside,
-            occ_stride=stride,
+            occ_stride=stride, fka=cfg.march_fka,
         )
     return march_rays(
         grid, origins, directions, cfg.depth_samples_per_ray, near, far,
@@ -338,6 +338,7 @@ def _march_for(
             cfg.occ_stride, cfg.depth_samples_per_ray, near, far,
             2 * cfg.outside, cfg.grid_resolution,
         ),
+        fka=cfg.march_fka,
     )
 
 

@@ -109,6 +109,51 @@ def test_march_hybrid_pallas_backend_equal():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_march_fka_config_plumbs_to_train_step():
+    """TrainConfig.march_fka reaches every march the train step builds
+    (VERDICT r4 #2 promotion knob): the hybrid2k two-bucket step at
+    fka='pallas_interpret' must produce the identical loss to 'xla'."""
+    import dataclasses
+
+    from nerf_for_angiography_tpu.training import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+    from nerf_for_angiography_tpu.ops.sampling import RayDataset
+
+    cfg = TrainConfig(
+        depth_samples_per_ray=64, sample_size=8, grid_resolution=16,
+        outside=100.0, march_mode="hybrid", compact_samples=16,
+        hybrid_split=0.75, hybrid_w_lo=32, hybrid_w_cap=48,
+        hybrid_bucket_k=True, hybrid_k_lo=8,
+    )
+    n_rays = 256
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    lat = jax.random.uniform(k1, (n_rays, 2), minval=-0.05, maxval=0.05)
+    dirs = jnp.concatenate([lat, jnp.ones((n_rays, 1))], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.concatenate(
+        [jnp.zeros((n_rays, 2)), jnp.full((n_rays, 1), -1500.0)], axis=-1
+    )
+    rays = RayDataset(
+        origins=origins, directions=dirs,
+        pixel_values=jax.random.uniform(k2, (n_rays,)),
+        weights=jnp.ones((n_rays,)),
+        image_ids=jnp.zeros((n_rays,), jnp.int32),
+        x_positions=jnp.zeros((n_rays,), jnp.int32),
+        y_positions=jnp.zeros((n_rays,), jnp.int32),
+        sampling_table=None,
+    )
+    losses = {}
+    for fka in ("xla", "pallas_interpret"):
+        c = dataclasses.replace(cfg, march_fka=fka)
+        model, state = create_train_state(c, jax.random.PRNGKey(3))
+        state = state._replace(step=jnp.ones((), jnp.int32))
+        step = make_train_step(model, c, 1400.0, 1600.0)
+        _, metrics, *_ = step(state, rays)
+        losses[fka] = float(metrics["loss/train-pixel-coarse"])
+    assert losses["xla"] == losses["pallas_interpret"], losses
+
+
 def test_no_gradient_path_through_kernel():
     """The march is off the AD path; grads through a loss that consumes
     the pallas-compacted mask must not error and must match XLA."""

@@ -64,6 +64,11 @@ def main():
              "(TrainConfig.hybrid_bucket_k; needs --hybrid_split > 0)",
     )
     ap.add_argument(
+        "--fka", default=None,
+        help="first-k-active backend in the marches (TrainConfig.march_fka:"
+             " xla|pallas)",
+    )
+    ap.add_argument(
         "--fused_step", action="store_true",
         help="whole-train-step fused kernel (TrainConfig.fused_train_step"
              "='auto'; ops/pallas/fused_step.py)",
@@ -123,6 +128,8 @@ def main():
         kw["hybrid_bucket_k"] = True
     if args.fused_step:
         kw["fused_train_step"] = "auto"
+    if args.fka:
+        kw["march_fka"] = args.fka
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
@@ -147,6 +154,7 @@ def main():
             "engage_max": cfg.compact_engage_max,
             "hybrid_split": cfg.hybrid_split,
             "bucket_k": cfg.hybrid_bucket_k,
+            "fka": cfg.march_fka,
             "iters": args.iters,
             "heldout_psnr": round(res.last_psnr, 3),
             "vessel_psnr_best": round(res.best_psnr, 3),
@@ -163,7 +171,7 @@ def main():
         # wiped with the session)
         rows_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "benchmarks", "quality_runs_r4.jsonl",
+            "benchmarks", "quality_runs_r5.jsonl",
         )
         try:
             with open(rows_path, "a") as f:
