@@ -43,8 +43,16 @@ def test_dryrun_multichip_fresh_process():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inprocess():
-    """Also callable under the test harness' pre-forced 8-CPU platform."""
+    """Also callable under the test harness' pre-forced 8-CPU platform.
+
+    Marked slow (430 s measured r5: the flagship-shape sections compile
+    the full hybrid/hybrid2k steppers on the 1-core host): the SAME
+    entry point runs fresh-process in the slow lane above AND is executed
+    by the driver's own MULTICHIP artifact every round — the fast lane
+    keeps `test_force_cpu_mesh_raises_when_short` plus the sharded-path
+    coverage in tests/test_parallel.py."""
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

@@ -344,8 +344,14 @@ def test_auto_compaction_switch(sphere_data, capsys):
     assert np.isfinite(result.last_psnr)
 
 
+@pytest.mark.slow
 def test_pose_refinement_recovers_translation():
-    """Per-view learnable camera translations recover a known injected
+    """Marked slow (260 s measured r5: 900 training iterations on the
+    1-core host; the 600-iter trim was probed in round 4 and fails
+    recovery). Pose-refinement WIRING stays fast-lane-covered by
+    test_pose_refinement_wiring below.
+
+    Per-view learnable camera translations recover a known injected
     world-space pose error (the reference declares per-image translation
     params at model/CPPN.py:133-135 but never consumes them; here they are
     first-class): dataset rays come from the NOMINAL cameras while pixels
@@ -412,6 +418,41 @@ def test_pose_refinement_recovers_translation():
     e = inplane_residuals(learned)
     assert e.mean() < 0.4 * e0.mean(), f"aligned in-plane {e} vs initial {e0}"
     assert (e < 0.8 * e0 + 0.05).all(), f"aligned in-plane {e} vs initial {e0}"
+    assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
+
+
+def test_pose_refinement_wiring():
+    """Fast-lane wiring coverage for pose_refine (the full 900-iter
+    recovery assertion is the slow test above): view_shifts params exist
+    per view, stay EXACTLY zero through the pose_start curriculum, move
+    once it lifts, and the loss stays finite."""
+    from nerf_for_angiography_tpu.data import make_sphere_volume
+
+    vol = make_sphere_volume(res=16)
+    dcfg = DatagenConfig(
+        limited_size=90.0, number_angles=1.0, img_width=10, img_height=10,
+        sample_outside=100.0, stratified_depths=False,
+        max_shift_translation=0.05, rays_from_nominal=True,
+    )
+    ds = generate_dataset(vol, dcfg, key=jax.random.PRNGKey(5))
+    n_views = int(np.asarray(ds.rays.image_ids).max()) + 1
+
+    cfg = tiny_cfg(
+        pose_refine=True, pose_lr=3e-2, pose_start=10, n_iters=30,
+        grid_update_every=100_000, sample_size=8,
+    )
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), num_views=n_views
+    )
+    assert state.params["params"]["view_shifts"].shape == (n_views, 3)
+    step = make_train_step(model, cfg, near=1400.0, far=1600.0)
+    for i in range(30):
+        state, metrics, _, _ = step(state, ds.rays)
+        if i + 1 == cfg.pose_start - 1:
+            frozen = np.asarray(state.params["params"]["view_shifts"])
+            assert (frozen == 0).all(), "shifts moved before pose_start"
+    moved = np.asarray(state.params["params"]["view_shifts"])
+    assert np.abs(moved).max() > 0, "shifts never moved after pose_start"
     assert np.isfinite(float(metrics["loss/train-pixel-coarse"]))
 
 

@@ -7,7 +7,13 @@
 #             (comparators: r4q8/r4q9 = 49.15 dB @ 1.049-1.053M steady;
 #             VERDICT r4 #3 target: steady >= 1.15M at quality parity)
 #   fka     — first-k Pallas backend promotion A/B, same seed
-#             (VERDICT r4 #2: promote or written negative result)
+#             (VERDICT r4 #2: promote or written negative result).
+#             NB the old "Pallas 0.63 ms ~ XLA parity" conclusion was
+#             measured with the TIMING HARNESS later shown (r4q5) to
+#             carry a ~0.8 ms/stage blocking bias; the XLA path's real
+#             cost is plausibly its (R,w,k) 345 MB HBM intermediate
+#             (~0.43 ms at BW) while the kernel's true time may be
+#             ~0.1 ms — this A/B is a live candidate win, not a formality
 #   bench   — full bench.py production protocol (BENCH_r05 rehearsal)
 # Usage: bash tools/r5_queue1.sh [stage ...]  (default: all)
 set -uo pipefail
