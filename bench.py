@@ -218,6 +218,14 @@ def main():
         k_eff = sum(_phase_k(p) * p["wall_s"] for p in phases) / phase_wall
     else:  # never compacted: fall back to the final tuning / config widths
         k_eff = _phase_k(t.get("tuning_final") or {})
+
+    # settled-phase rate: the longest-wall steady phase (the run's final
+    # tuning once the grid stops pruning). The headline steady number
+    # blends the interim-k engagement ladder (k 160->128->96 as the grid
+    # prunes — physics, not loop overhead); this shows the rate the loop
+    # actually sustains once settled (r5: 1.218M vs 1.069M blended).
+    dom = max(phases, key=lambda p: p["wall_s"], default=None)
+    settled = dom["rays"] / dom["wall_s"] if dom and dom["wall_s"] > 0 else 0.0
     f = cfg.num_hidden_units
     macs_fwd = 3 * f + cfg.num_layers * f * f + f
     flop_per_step = cfg.img_sample_size * k_eff * macs_fwd * 2 * 3
@@ -237,6 +245,7 @@ def main():
         "e2e_rays_per_sec": round(res.rays_per_sec, 1),
         "step_ms": round(step_ms, 3),
         "mfu_pct": round(mfu_pct, 1),
+        "settled_rays_per_sec": round(settled, 1),
         "decay_bounces": t.get("decay_bounces", 0),
         "wall_s": round(float(t.get("total", 0.0)), 1),
         "compile_s": round(float(t.get("compile", 0.0)), 1),

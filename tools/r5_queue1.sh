@@ -1,8 +1,7 @@
 #!/bin/bash
-# Round-5 TPU queue 1 — run once the axon tunnel heals.
+# Round-5 TPU queue 1 — stages health-gate themselves and retry once
+# (tools/r5_lib.sh; the tunnel wedges intermittently).
 #
-# Stages (each gated on the previous completing; logs under /tmp/r5q1_*):
-#   health  — trivial-op round trip with a hard timeout
 #   loop    — drain-on-demand loop A/B at the shipped defaults, seed 1
 #             (comparators: r4q8/r4q9 = 49.15 dB @ 1.049-1.053M steady;
 #             VERDICT r4 #3 target: steady >= 1.15M at quality parity)
@@ -19,34 +18,21 @@
 set -uo pipefail
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
-STAGES=${@:-"health loop fka bench"}
-
-run_stage() {
-  local name=$1; shift
-  echo "=== stage $name: $(date -u +%H:%M:%S) ==="
-  "$@" 2>&1 | tee "/tmp/r5q1_$name.log"
-  local rc=${PIPESTATUS[0]}
-  echo "=== stage $name done rc=$rc ==="
-  return $rc
-}
+. tools/r5_lib.sh
+STAGES=${@:-"loop fka bench"}
 
 for s in $STAGES; do
   case $s in
-    health)
-      run_stage health timeout 90 python -c \
-        "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))" \
-        || { echo "tunnel still wedged; aborting queue"; exit 1; }
-      ;;
     loop)
-      run_stage loop timeout 2400 python tools/quality_run.py \
-        --seed 1 --tag r5-loop || exit 1
+      run_stage loop /tmp/r5q1_loop.log timeout 2400 \
+        python tools/quality_run.py --seed 1 --tag r5-loop || exit 1
       ;;
     fka)
-      run_stage fka timeout 2400 python tools/quality_run.py \
-        --seed 1 --fka pallas --tag r5-fka || exit 1
+      run_stage fka /tmp/r5q1_fka.log timeout 2400 \
+        python tools/quality_run.py --seed 1 --fka pallas --tag r5-fka || exit 1
       ;;
     bench)
-      run_stage bench timeout 3000 python bench.py || exit 1
+      run_stage bench /tmp/r5q1_bench.log timeout 3000 python bench.py || exit 1
       ;;
     *) echo "unknown stage $s"; exit 2 ;;
   esac

@@ -1,5 +1,6 @@
 #!/bin/bash
 # Round-5 TPU queue 2 — LCA throughput parity sweep (VERDICT r4 #5).
+# Stages health-gate themselves and retry once (tools/r5_lib.sh).
 #
 # The LCA/SDF family ran at 908.6k rays/s steady (0.89x CT) with the
 # two-bucket split tuned on CT's span distribution. Sweep hybrid_split
@@ -16,7 +17,8 @@
 set -uo pipefail
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
-STAGES=${@:-"health lca75 lca60 lca85 lca0"}
+. tools/r5_lib.sh
+STAGES=${@:-"lca75 lca60 lca85 lca0"}
 
 lca_run() {
   local tag=$1 split=$2
@@ -24,24 +26,19 @@ lca_run() {
   ws=$(mktemp -d "/tmp/r5_lca_${tag}.XXXX")
   echo "workspace: $ws"
   (cd "$ws" \
-    && python "$REPO/cli/datagen.py" --data_name LCA --volume phantom:lca --out data \
-    && python "$REPO/cli/train.py" --data_name LCA --n_iters 20000 \
-         --display_every 1000 --compact_engage_max 192 \
+    && timeout 900 python "$REPO/cli/datagen.py" --data_name LCA \
+         --volume phantom:lca --out data \
+    && timeout 3000 python "$REPO/cli/train.py" --data_name LCA \
+         --n_iters 20000 --display_every 1000 --compact_engage_max 192 \
          --hybrid_split "$split")
 }
 
 for s in $STAGES; do
   case $s in
-    health)
-      echo "=== health ==="
-      timeout 90 python -c \
-        "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))" \
-        || { echo "tunnel still wedged; aborting queue"; exit 1; }
-      ;;
-    lca75) lca_run lca75 0.75 2>&1 | tee /tmp/r5q2_lca75.log ;;
-    lca60) lca_run lca60 0.60 2>&1 | tee /tmp/r5q2_lca60.log ;;
-    lca85) lca_run lca85 0.85 2>&1 | tee /tmp/r5q2_lca85.log ;;
-    lca0)  lca_run lca0  0.0  2>&1 | tee /tmp/r5q2_lca0.log ;;
+    lca75) run_stage lca75 /tmp/r5q2_lca75.log lca_run lca75 0.75 ;;
+    lca60) run_stage lca60 /tmp/r5q2_lca60.log lca_run lca60 0.60 ;;
+    lca85) run_stage lca85 /tmp/r5q2_lca85.log lca_run lca85 0.85 ;;
+    lca0)  run_stage lca0  /tmp/r5q2_lca0.log  lca_run lca0  0.0  ;;
     *) echo "unknown stage $s"; exit 2 ;;
   esac
 done
