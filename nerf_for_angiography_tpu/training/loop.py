@@ -620,7 +620,12 @@ def train(
             test_metrics, test_pixels = eval_step(state, test)
             psnr = float(test_metrics["psnr/test-coarse"])
             vessel_psnr = float(test_metrics["psnr/vessel-test-coarse"])
-            timing["eval"] += time.perf_counter() - t0
+            # first call traces+compiles eval_step (~35 s cold through the
+            # tunnel) — charge it to "compile" like the step runners, so
+            # "eval" is the recurring cost only
+            _eval_bucket = "eval" if id(eval_step) in _seen_runners else "compile"
+            _seen_runners.add(id(eval_step))
+            timing[_eval_bucket] += time.perf_counter() - t0
             last_psnr = psnr
 
             # best-model criterion (run_nerf_acc.py:376)
