@@ -121,6 +121,13 @@ class TrainResult:
     state: Any
     best_psnr: float
     best_iter: int
+    # held-out PSNR at the best-checkpoint iteration — the quality of the
+    # model the protocol actually ships (run_nerf_acc.py:376-385 keeps
+    # highmodel.pth by best vessel PSNR and the evaluation pipeline loads
+    # THAT model, visualization.py:179). last_psnr point-samples the final
+    # eval, which swings ~±1.5 dB between adjacent evals at the near-flat
+    # 20k-iter lr (r5 bench: 49.38 @19.5k best ckpt vs 47.87 @20k).
+    best_heldout_psnr: float
     last_psnr: float
     iters_run: int
     rays_per_sec: float
@@ -355,6 +362,7 @@ def train(
 
     highest_psnr = -np.inf
     highest_iter = start_iter
+    best_heldout = float("nan")
     last_psnr = float("nan")
     t_start = time.perf_counter()
     rays_done = 0
@@ -669,6 +677,7 @@ def train(
             if check >= highest_psnr and n_iter > 0:
                 highest_psnr = check
                 highest_iter = n_iter
+                best_heldout = psnr
                 if log_dir:
                     save_model(
                         os.path.join(log_dir, "highmodel.npz"),
@@ -765,6 +774,7 @@ def train(
         state=state,
         best_psnr=float(highest_psnr),
         best_iter=int(highest_iter),
+        best_heldout_psnr=float(best_heldout),
         last_psnr=float(last_psnr),
         iters_run=int(min(n_iter, cfg.n_iters)),
         rays_per_sec=float(rays_per_sec),

@@ -97,6 +97,10 @@ def test_end_to_end_micro_train_psnr_rises(sphere_data):
     psnr_after = result.last_psnr
     assert psnr_after > psnr_before + 5.0, (psnr_before, psnr_after)
     assert psnr_after > 15.0
+    # the shipped-model (best-checkpoint) held-out PSNR is recorded and
+    # refers to the best_iter eval (run_nerf_acc.py:376-385 semantics)
+    assert np.isfinite(result.best_heldout_psnr)
+    assert result.best_heldout_psnr > 15.0
     assert result.rays_per_sec > 0
 
 

@@ -157,6 +157,7 @@ def main():
             "fka": cfg.march_fka,
             "iters": args.iters,
             "heldout_psnr": round(res.last_psnr, 3),
+            "heldout_at_best_ckpt": round(res.best_heldout_psnr, 3),
             "vessel_psnr_best": round(res.best_psnr, 3),
             "rays_per_sec": round(res.rays_per_sec),
             "warm": run_i > 0,
