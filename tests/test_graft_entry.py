@@ -37,7 +37,10 @@ def test_dryrun_multichip_fresh_process():
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        # ~430 s alone on the 1-core host; 1200 gives headroom when the
+        # slow lane's other compile-heavy tests share the core (600 timed
+        # out under that contention in the r5 full-suite run)
+        timeout=1200,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "dryrun_multichip(8): ok" in proc.stdout
