@@ -69,6 +69,11 @@ def main():
              " xla|pallas)",
     )
     ap.add_argument(
+        "--feature_major", action="store_true",
+        help="feature-major fused-MLP input (TrainConfig.feature_major_mlp; "
+             "skips the (P,3)->(8,P) relayout on the Pallas path)",
+    )
+    ap.add_argument(
         "--fused_step", action="store_true",
         help="whole-train-step fused kernel (TrainConfig.fused_train_step"
              "='auto'; ops/pallas/fused_step.py)",
@@ -130,6 +135,8 @@ def main():
         kw["fused_train_step"] = "auto"
     if args.fka:
         kw["march_fka"] = args.fka
+    if args.feature_major:
+        kw["feature_major_mlp"] = True
     cfg = TrainConfig(**kw)
     dcfg = DatagenConfig(
         limited_size=180.0, number_angles=4.0, img_width=100, img_height=100,
