@@ -249,8 +249,10 @@ class TrainConfig:
     # affinely from the march's compacted t values, skipping the
     # (P, 3) -> (8, P) input relayout its wrapper otherwise pays per step
     # (training/train.py::_raw_for / _flat_positions_fm). Numerically the
-    # midpoint recompute matches the march's t_mid to 1 ulp f32. Default
-    # off until the TPU A/B (r4 queue) prices the relayout.
+    # midpoint recompute matches the march's t_mid to 1 ulp f32. Priced
+    # end-to-end in round 5 (MFU.md, tag r5-fm): steady identical,
+    # settled −1.4%, quality parity — the relayout it removes was already
+    # XLA-fused. NEGATIVE result; stays off as a tested variant.
     feature_major_mlp: bool = False
     # whole-train-step fused kernel (ops/pallas/fused_step.py): MLP
     # forward + Beer-Lambert composite + MSE gradient + MLP backward in
@@ -260,8 +262,9 @@ class TrainConfig:
     # train_alpha_prune are off — otherwise the split path runs.
     # 'auto' = on-TPU when eligible, 'on' = force (raises if ineligible;
     # interpret-mode on CPU, for tests), 'off' = always split.
-    # Default off until the TPU A/B + 20k quality gate price it
-    # (benchmarks/MFU.md round-4).
+    # Priced in round 4 (MFU.md r4q6): full_step 7.03 vs 6.03 ms split,
+    # 863k vs 1.024M steady at quality parity — NEGATIVE result; stays
+    # off as a gradient-exact tested variant.
     fused_train_step: str = "off"
 
     seed: int = 0
